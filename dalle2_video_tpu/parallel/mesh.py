@@ -1,0 +1,54 @@
+"""Device mesh + sharding rules.
+
+Replaces the reference's NCCL-via-Accelerate/DeepSpeed plane
+(reference trainer.py:30,102,117-124; configs/deepspeed_config.json) with a
+single GSPMD `jax.sharding.Mesh`:
+
+  - ``data``  axis: batch (DP) + optimizer-state sharding (ZeRO-equivalent)
+  - ``model`` axis: tensor parallelism for attention heads / wide channels
+
+On a v4-8 the default is all-data (`data=N, model=1`); collectives ride ICI
+and are inserted by the partitioner from sharding annotations only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with the leading axis on `data`."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
