@@ -128,8 +128,15 @@ class DiffusionSchedule:
             sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
             sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
             log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
-            sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-            sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+            # floor keeps the reciprocal buffers finite when a schedule hits
+            # alpha_cumprod == 0 exactly (e.g. linear with few timesteps);
+            # values match the reference wherever the reference is finite
+            sqrt_recip_alphas_cumprod=f32(
+                np.sqrt(1.0 / np.maximum(alphas_cumprod, 1e-20))
+            ),
+            sqrt_recipm1_alphas_cumprod=f32(
+                np.sqrt(1.0 / np.maximum(alphas_cumprod, 1e-20) - 1.0)
+            ),
             posterior_variance=f32(posterior_variance),
             posterior_log_variance_clipped=f32(
                 np.log(np.clip(posterior_variance, 1e-20, None))
@@ -280,8 +287,8 @@ def discretized_gaussian_log_likelihood(x, *, means, log_scales, thres: float = 
     min_in = inv_stdv * (centered_x - 1.0 / 255.0)
     cdf_min = approx_standard_normal_cdf(min_in)
 
-    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, a_min=1e-12))
-    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, a_min=1e-12))
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, min=1e-12))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, min=1e-12))
     cdf_delta = cdf_plus - cdf_min
 
     return jnp.where(
@@ -290,6 +297,6 @@ def discretized_gaussian_log_likelihood(x, *, means, log_scales, thres: float = 
         jnp.where(
             x > thres,
             log_one_minus_cdf_min,
-            jnp.log(jnp.clip(cdf_delta, a_min=1e-12)),
+            jnp.log(jnp.clip(cdf_delta, min=1e-12)),
         ),
     )

@@ -1,0 +1,822 @@
+"""VideoDecoder — cascaded DDPM video diffusion engine.
+
+TPU-native rewrite of reference ``VideoDecoder`` (/root/reference/
+dalle2_video/dalle2_video.py:1169-2299): per-unet noise schedules
+(cosine...linear default), frame_sizes/frame_numbers ladders, learned
+variance + VLB, p2 reweighting, CFG drop probabilities (video 0.1 / text
+0.5), dynamic thresholding, Imagen lowres blur/noise conditioning, DDPM
+ancestral + DDIM sampling, optional latent diffusion via a VAE per stage.
+
+TPU-first design:
+  * training loss and per-stage sampling are pure functions of
+    (params, rng, arrays) — jit/pjit them whole; all unets stay resident
+    in (sharded) HBM, replacing the reference's CPU<->GPU unet swapping
+    (``one_unet_in_gpu``, :1508-1529)
+  * the denoising loop is a single ``lax.scan`` — one compiled program for
+    all 1000 steps, zero host round-trips
+  * classifier-free guidance runs as ONE 2x-batched forward instead of the
+    reference's two sequential forwards (:683-692)
+  * every random draw (timesteps, noise, CFG keep masks, self-cond coin,
+    blur coin) comes from an explicit, splittable PRNG key
+
+Deliberate divergences (SURVEY.md §2e, implemented as intended semantics):
+  quirk #1  embed conditioning actually active on the base unet
+  quirk #2  DDIM path works for video (the reference's is unreachable/broken)
+  quirk #3  training-time text-conditioning assert fixed (mis-parenthesized
+            at reference :2242)
+  + parse_unet_output splits the CHANNEL axis (reference :1500-1506 splits
+    torch dim=2 = time — latent bug, never exercised since shipped config
+    has learned_variance=False)
+  + frame_numbers ladder actually resamples time (temporal SR), instead of
+    being inert (quirk #6)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dalle2_video_tpu.diffusion import (
+    NAT,
+    DiffusionSchedule,
+    discretized_gaussian_log_likelihood,
+    normal_kl,
+)
+from dalle2_video_tpu.engine.conditioner import (
+    LowresConditionerConfig,
+    lowres_condition,
+    make_noise_schedule,
+    noise_video,
+)
+from dalle2_video_tpu.models.unet3d import UNet3D, UNet3DConfig
+from dalle2_video_tpu.models.vae import NullVAE
+from dalle2_video_tpu.ops.video import resize_video, resize_video_time
+
+
+def _cast_tuple(v, length: int, validate: bool = True):
+    if isinstance(v, (tuple, list)):
+        out = tuple(v)
+        if validate:
+            assert len(out) == length
+        return out
+    return (v,) * length
+
+
+def _pad_tuple(t: Tuple, length: int, fill):
+    return t + (fill,) * (length - len(t))
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoDecoderConfig:
+    """Static cascade configuration (reference __init__, :1170-1238)."""
+
+    unets: Tuple[UNet3DConfig, ...]
+    frame_sizes: Tuple[int, ...]
+    frame_numbers: Tuple[int, ...]
+    channels: int = 3
+    timesteps: int = 1000
+    sample_timesteps: Union[None, int, Tuple[Optional[int], ...]] = None
+    video_cond_drop_prob: float = 0.1
+    text_cond_drop_prob: float = 0.5
+    loss_type: str = "l2"
+    beta_schedule: Union[None, str, Tuple[str, ...]] = None
+    predict_x_start: Union[bool, Tuple[bool, ...]] = False
+    predict_v: Union[bool, Tuple[bool, ...]] = False
+    learned_variance: Union[bool, Tuple[bool, ...]] = True
+    learned_variance_constrain_frac: bool = False
+    vb_loss_weight: float = 0.001
+    unconditional: bool = False
+    auto_normalize_video: bool = True
+    use_dynamic_thres: bool = False
+    dynamic_thres_percentile: float = 0.95
+    p2_loss_weight_gamma: Union[float, Tuple[float, ...]] = 0.0
+    p2_loss_weight_k: float = 1.0
+    ddim_sampling_eta: float = 0.0
+    use_noise_for_lowres_cond: Union[bool, Tuple[bool, ...]] = False
+    use_blur_for_lowres_cond: Union[bool, Tuple[bool, ...]] = True
+    lowres_downsample_first: bool = True
+    blur_prob: float = 0.5
+    blur_sigma: float = 0.6
+    blur_kernel_size: int = 3
+    lowres_noise_sample_level: float = 0.2
+    clip_denoised: bool = True
+    random_crop_sizes: Union[None, int, Tuple[Optional[int], ...]] = None
+
+    @property
+    def num_unets(self) -> int:
+        return len(self.unets)
+
+
+class VideoDecoder:
+    """Engine object: holds resolved per-unet configs, modules and schedules.
+
+    Construction mirrors reference :1290-1480 (validation + per-unet
+    resolution of tuple-ish knobs + cascade re-casting of each unet).
+    """
+
+    def __init__(self, config: VideoDecoderConfig, vaes: Optional[Sequence] = None):
+        cfg = config
+        n = cfg.num_unets
+        assert n == len(cfg.frame_sizes) == len(cfg.frame_numbers)
+        assert tuple(cfg.frame_sizes) == tuple(sorted(cfg.frame_sizes))
+
+        self.config = cfg
+        self.vaes = tuple(vaes) if vaes is not None else tuple(
+            NullVAE(channels=cfg.channels) for _ in range(n)
+        )
+        assert len(self.vaes) == n
+
+        # learned variance: scalar -> first unet only (reference :1300-1305)
+        lv = cfg.learned_variance
+        self.learned_variance = (
+            _pad_tuple(_cast_tuple(lv, 1, validate=False) if isinstance(lv, bool) else tuple(lv), n, False)
+        )
+        self.predict_x_start = _cast_tuple(cfg.predict_x_start, n)
+        self.predict_v = _cast_tuple(cfg.predict_v, n)
+        self.sample_timesteps = _cast_tuple(cfg.sample_timesteps, n)
+        self.random_crop_sizes = _cast_tuple(cfg.random_crop_sizes, n)
+        assert self.random_crop_sizes[0] is None, "no random crop for base unet"
+
+        # lowres conditioning flags (reference :1310-1330)
+        unoise = cfg.use_noise_for_lowres_cond
+        ublur = cfg.use_blur_for_lowres_cond
+        unoise = _cast_tuple(unoise, n - 1, validate=False) if n > 1 else ()
+        ublur = _cast_tuple(ublur, n - 1, validate=False) if n > 1 else ()
+        self.use_noise_for_lowres = (False, *unoise)[:n] if n > 1 else (False,)[:n]
+        self.use_blur_for_lowres = (False, *ublur)[:n] if n > 1 else (False,)[:n]
+        assert n == 1 or all(
+            nz or bl
+            for nz, bl in zip(self.use_noise_for_lowres[1:], self.use_blur_for_lowres[1:])
+        )
+
+        # beta schedules (reference :1367-1374)
+        bs = cfg.beta_schedule
+        if bs is None:
+            bs = ("cosine", *("cosine",) * max(n - 2, 0), *("linear",) * int(n > 1))
+        bs = _cast_tuple(bs, n)
+        p2g = _cast_tuple(cfg.p2_loss_weight_gamma, n)
+        self.schedules = tuple(
+            DiffusionSchedule.create(
+                b, cfg.timesteps, cfg.loss_type, g, cfg.p2_loss_weight_k
+            )
+            for b, g in zip(bs, p2g)
+        )
+
+        # re-cast each unet for its cascade slot (reference :1332-1358)
+        unet_cfgs = []
+        for i, (ucfg, vae, lv_i, lowres_noise) in enumerate(
+            zip(cfg.unets, self.vaes, self.learned_variance, self.use_noise_for_lowres)
+        ):
+            is_first = i == 0
+            unet_channels = vae.encoded_dim
+            unet_cfgs.append(
+                ucfg.cast_for_cascade(
+                    lowres_cond=not is_first,
+                    lowres_noise_cond=lowres_noise,
+                    channels=unet_channels,
+                    channels_out=unet_channels * (2 if lv_i else 1),
+                    cond_on_video_embeds=not cfg.unconditional and is_first,
+                    cond_on_text_encodings=not cfg.unconditional
+                    and ucfg.cond_on_text_encodings,
+                )
+            )
+        self.unet_configs = tuple(unet_cfgs)
+        self.unets = tuple(UNet3D(c) for c in self.unet_configs)
+
+        # lowres conditioner configs per SR stage (reference :1436-1460)
+        self.lowres_configs: Tuple[Optional[LowresConditionerConfig], ...] = tuple(
+            None
+            if i == 0
+            else LowresConditionerConfig(
+                downsample_first=cfg.lowres_downsample_first,
+                use_blur=self.use_blur_for_lowres[i],
+                blur_prob=cfg.blur_prob,
+                blur_sigma=cfg.blur_sigma,
+                blur_kernel_size=cfg.blur_kernel_size,
+                use_noise=self.use_noise_for_lowres[i],
+                input_video_range=(0.0, 1.0) if cfg.auto_normalize_video else (-1.0, 1.0),
+                auto_normalize=cfg.auto_normalize_video,
+            )
+            for i in range(n)
+        )
+        self.lowres_noise_schedule = make_noise_schedule()
+
+        self.can_classifier_guidance = (
+            cfg.video_cond_drop_prob > 0.0 or cfg.text_cond_drop_prob > 0.0
+        )
+        self.condition_on_text_encodings = any(
+            c.cond_on_text_encodings for c in self.unet_configs
+        )
+
+    # ------------------------------------------------------------------ #
+    # params
+    # ------------------------------------------------------------------ #
+    def init_params(self, rng: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
+        """Initialize all unet (and VAE) params. Tiny dummy shapes: UNet3D is
+        fully convolutional + token attention, so params are shape-agnostic
+        in (T, H, W)."""
+        cfg = self.config
+        params: Dict[str, Any] = {}
+        keys = jax.random.split(rng, 2 * cfg.num_unets)
+        for i, (unet, ucfg, vae) in enumerate(
+            zip(self.unets, self.unet_configs, self.vaes)
+        ):
+            t, s = 2, 16
+            x = jnp.zeros((batch_size, t, s, s, ucfg.channels))
+            time = jnp.zeros((batch_size,), jnp.int32)
+            kwargs: Dict[str, Any] = {}
+            if ucfg.cond_on_video_embeds:
+                kwargs["video_embed"] = jnp.zeros((batch_size, ucfg.video_embed_dim))
+            if ucfg.lowres_cond:
+                kwargs["lowres_cond_video"] = jnp.zeros_like(x)
+            if ucfg.lowres_noise_cond:
+                kwargs["lowres_noise_level"] = jnp.zeros((batch_size,), jnp.int32)
+            if ucfg.cond_on_text_encodings:
+                kwargs["text_encodings"] = jnp.zeros((batch_size, 4, ucfg.text_embed_dim))
+            params[f"unet_{i}"] = unet.init(keys[2 * i], x, time, **kwargs)
+            vp = vae.init_params(keys[2 * i + 1])
+            if vp is not None:
+                params[f"vae_{i}"] = vp
+        return params
+
+    # ------------------------------------------------------------------ #
+    # helpers
+    # ------------------------------------------------------------------ #
+    def _normalize(self, x):
+        return x * 2.0 - 1.0 if self.config.auto_normalize_video else x
+
+    def _unnormalize(self, x):
+        return (x + 1.0) * 0.5 if self.config.auto_normalize_video else x
+
+    @staticmethod
+    def parse_unet_output(learned_variance: bool, output: jnp.ndarray):
+        """Split (pred, var_interp_frac) along channels. Divergence: reference
+        :1500-1506 chunks torch dim=2 (time) — latent bug, see module doc."""
+        if not learned_variance:
+            return output, None
+        return jnp.split(output, 2, axis=-1)
+
+    def dynamic_threshold(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Static clamp or Imagen dynamic thresholding (reference :1530-1549)."""
+        if not self.config.use_dynamic_thres:
+            return jnp.clip(x, -1.0, 1.0)
+        b = x.shape[0]
+        flat = jnp.abs(x.reshape(b, -1))
+        s = jnp.quantile(flat, self.config.dynamic_thres_percentile, axis=-1)
+        s = jnp.maximum(s, 1.0).reshape((b,) + (1,) * (x.ndim - 1))
+        return jnp.clip(x, -s, s) / s
+
+    def _unet_apply(
+        self,
+        unet_index: int,
+        unet_params,
+        x,
+        t,
+        *,
+        cond_scale: float = 1.0,
+        video_embed=None,
+        text_encodings=None,
+        lowres_cond_video=None,
+        lowres_noise_level=None,
+        self_cond=None,
+        video_keep_mask=None,
+        text_keep_mask=None,
+    ) -> jnp.ndarray:
+        """forward_with_cond_scale as ONE batched forward (reference :683-692
+        runs the unet twice). cond_scale is static."""
+        unet = self.unets[unet_index]
+        kwargs = dict(
+            video_embed=video_embed,
+            text_encodings=text_encodings,
+            lowres_cond_video=lowres_cond_video,
+            lowres_noise_level=lowres_noise_level,
+            self_cond=self_cond,
+        )
+        if cond_scale == 1.0:
+            return unet.apply(
+                unet_params, x, t,
+                video_keep_mask=video_keep_mask,
+                text_keep_mask=text_keep_mask,
+                **kwargs,
+            )
+        assert self.can_classifier_guidance, (
+            "decoder was not trained with conditional dropout — cannot use "
+            "classifier-free guidance (reference assert :1568)"
+        )
+        b = x.shape[0]
+        dup = lambda a: None if a is None else jnp.concatenate([a, a], axis=0)
+        keep = jnp.concatenate(
+            [jnp.ones((b,), bool), jnp.zeros((b,), bool)], axis=0
+        )
+        out2 = unet.apply(
+            dict(unet_params),
+            dup(x),
+            dup(t),
+            video_keep_mask=keep,
+            text_keep_mask=keep,
+            **{k: dup(v) for k, v in kwargs.items()},
+        )
+        logits, null_logits = out2[:b], out2[b:]
+        return null_logits + (logits - null_logits) * cond_scale
+
+    # ------------------------------------------------------------------ #
+    # training loss (reference forward :2188-2299 + p_losses :1933-2051)
+    # ------------------------------------------------------------------ #
+    def loss(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        video: jnp.ndarray,
+        *,
+        video_embed: Optional[jnp.ndarray] = None,
+        text_encodings: Optional[jnp.ndarray] = None,
+        unet_number: int = 1,
+    ) -> jnp.ndarray:
+        """One denoising-loss step for one cascade stage. unet_number is
+        1-indexed and STATIC (pick at trace time, reference :2206-2216)."""
+        cfg = self.config
+        i = unet_number - 1
+        ucfg = self.unet_configs[i]
+        vae = self.vaes[i]
+        sched = self.schedules[i]
+        lowres_cfg = self.lowres_configs[i]
+        target_size = cfg.frame_sizes[i]
+        target_frames = cfg.frame_numbers[i]
+        b = video.shape[0]
+
+        assert video.shape[-1] == cfg.channels
+        assert video.shape[2] >= target_size and video.shape[3] >= target_size
+        # quirk #3 fixed: the reference's training-path assert (:2242) is
+        # mis-parenthesized and rejects all text-conditioned training
+        assert not (
+            self.condition_on_text_encodings and text_encodings is None
+        ), "text encodings must be passed in for text-conditioned decoder"
+        assert not (
+            not self.condition_on_text_encodings and text_encodings is not None
+        ), "decoder not conditioned on text, but encodings were given"
+
+        k_t, k_lowres, k_crop, k_loss = jax.random.split(rng, 4)
+        times = sched.sample_random_times(k_t, b)
+
+        lowres_cond_video, lowres_noise_level = (None, None)
+        if lowres_cfg is not None:
+            lowres_cond_video, lowres_noise_level = lowres_condition(
+                k_lowres,
+                video,
+                lowres_cfg,
+                target_frame_size=target_size,
+                downsample_frame_size=cfg.frame_sizes[i - 1],
+                target_frame_number=target_frames,
+                downsample_frame_number=cfg.frame_numbers[i - 1],
+                noise_schedule=self.lowres_noise_schedule,
+            )
+
+        video = resize_video(video, target_size, method="nearest")
+        video = resize_video_time(video, target_frames, method="nearest")
+
+        crop = self.random_crop_sizes[i]
+        if crop is not None:
+            # shared random crop across video + lowres cond (reference
+            # :2260-2265 via kornia same-params trick)
+            kh, kw = jax.random.split(k_crop)
+            oh = jax.random.randint(kh, (), 0, target_size - crop + 1)
+            ow = jax.random.randint(kw, (), 0, target_size - crop + 1)
+            take = lambda v: jax.lax.dynamic_slice(
+                v,
+                (0, 0, oh, ow, 0),
+                (v.shape[0], v.shape[1], crop, crop, v.shape[4]),
+            )
+            video = take(video)
+            if lowres_cond_video is not None:
+                lowres_cond_video = take(lowres_cond_video)
+
+        vae_params = params.get(f"vae_{i}")
+        video = vae.encode(vae_params, video)
+        if lowres_cond_video is not None:
+            lowres_cond_video = vae.encode(vae_params, lowres_cond_video)
+
+        return self._p_losses(
+            i,
+            params[f"unet_{i}"],
+            k_loss,
+            video,
+            times,
+            video_embed=video_embed,
+            text_encodings=text_encodings if ucfg.cond_on_text_encodings else None,
+            lowres_cond_video=lowres_cond_video,
+            lowres_noise_level=lowres_noise_level,
+            is_latent=vae.is_latent,
+        )
+
+    def _p_losses(
+        self,
+        i: int,
+        unet_params,
+        rng: jax.Array,
+        x_start: jnp.ndarray,
+        times: jnp.ndarray,
+        *,
+        video_embed=None,
+        text_encodings=None,
+        lowres_cond_video=None,
+        lowres_noise_level=None,
+        is_latent: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        ucfg = self.unet_configs[i]
+        sched = self.schedules[i]
+        learned_var = self.learned_variance[i]
+        b = x_start.shape[0]
+
+        k_noise, k_vmask, k_tmask, k_selfcond = jax.random.split(rng, 4)
+        noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
+
+        if not is_latent:
+            x_start = self._normalize(x_start)
+            if lowres_cond_video is not None:
+                lowres_cond_video = self._normalize(lowres_cond_video)
+
+        x_noisy = sched.q_sample(x_start, times, noise)
+
+        video_keep = jax.random.bernoulli(
+            k_vmask, 1.0 - cfg.video_cond_drop_prob, (b,)
+        )
+        text_keep = jax.random.bernoulli(k_tmask, 1.0 - cfg.text_cond_drop_prob, (b,))
+
+        unet = self.unets[i]
+        base_kwargs = dict(
+            video_embed=video_embed,
+            text_encodings=text_encodings,
+            lowres_cond_video=lowres_cond_video,
+            lowres_noise_level=lowres_noise_level,
+        )
+
+        # self-conditioning: 50% of steps condition on a detached x0 estimate
+        # (reference :1971-1975); lax.cond pays the extra forward only when
+        # the coin lands
+        self_cond = None
+        if ucfg.self_cond:
+            def with_selfcond(_):
+                out = unet.apply(
+                    unet_params, x_noisy, times,
+                    video_keep_mask=jnp.ones((b,), bool),
+                    text_keep_mask=jnp.ones((b,), bool),
+                    **base_kwargs,
+                )
+                pred, _ = self.parse_unet_output(learned_var, out)
+                return jax.lax.stop_gradient(pred)
+
+            coin = jax.random.bernoulli(k_selfcond, 0.5)
+            self_cond = jax.lax.cond(
+                coin, with_selfcond, lambda _: jnp.zeros_like(x_noisy), None
+            )
+
+        unet_output = unet.apply(
+            unet_params,
+            x_noisy,
+            times,
+            video_keep_mask=video_keep,
+            text_keep_mask=text_keep,
+            self_cond=self_cond,
+            enable_checkpoint=True,
+            **base_kwargs,
+        )
+        pred, _ = self.parse_unet_output(learned_var, unet_output)
+
+        if self.predict_v[i]:
+            target = sched.calculate_v(x_start, times, noise)
+        elif self.predict_x_start[i]:
+            target = x_start
+        else:
+            target = noise
+
+        loss = sched.loss_fn(pred, target)
+        loss = loss.reshape(b, -1).mean(axis=-1)
+        loss = sched.p2_reweigh_loss(loss, times)
+        loss = loss.mean()
+
+        if not learned_var:
+            return loss
+
+        # Improved-DDPM VLB term with detached mean (reference :2008-2051)
+        true_mean, _, true_log_var = sched.q_posterior(x_start, x_noisy, times)
+        model_mean, _, model_log_var, _ = self._p_mean_variance(
+            i,
+            unet_params,
+            x_noisy,
+            times,
+            clip_denoised=False,
+            model_output=unet_output,
+        )
+        detached_mean = jax.lax.stop_gradient(model_mean)
+        kl = normal_kl(true_mean, true_log_var, detached_mean, model_log_var)
+        kl = kl.reshape(b, -1).mean(axis=-1) * NAT
+        decoder_nll = -discretized_gaussian_log_likelihood(
+            x_start, means=detached_mean, log_scales=0.5 * model_log_var
+        )
+        decoder_nll = decoder_nll.reshape(b, -1).mean(axis=-1) * NAT
+        vb_losses = jnp.where(times == 0, decoder_nll, kl)
+        return loss + vb_losses.mean() * cfg.vb_loss_weight
+
+    # ------------------------------------------------------------------ #
+    # p(x_{t-1} | x_t) (reference p_mean_variance :1550-1618)
+    # ------------------------------------------------------------------ #
+    def _p_mean_variance(
+        self,
+        i: int,
+        unet_params,
+        x,
+        t,
+        *,
+        clip_denoised: bool = True,
+        cond_scale: float = 1.0,
+        model_output: Optional[jnp.ndarray] = None,
+        **cond_kwargs,
+    ):
+        sched = self.schedules[i]
+        learned_var = self.learned_variance[i]
+        if model_output is None:
+            model_output = self._unet_apply(
+                i, unet_params, x, t, cond_scale=cond_scale, **cond_kwargs
+            )
+        pred, var_frac_unnorm = self.parse_unet_output(learned_var, model_output)
+
+        if self.predict_v[i]:
+            x_start = sched.predict_start_from_v(x, t, pred)
+        elif self.predict_x_start[i]:
+            x_start = pred
+        else:
+            x_start = sched.predict_start_from_noise(x, t, pred)
+
+        if clip_denoised:
+            x_start = self.dynamic_threshold(x_start)
+
+        mean, var, log_var = sched.q_posterior(x_start, x, t)
+
+        if learned_var:
+            # network interpolates between beta-max and posterior-min log-var
+            # (eq 15, Improved DDPM; reference :1604-1616)
+            nd = x.ndim
+            from dalle2_video_tpu.diffusion.schedule import _extract
+
+            min_log = _extract(sched.posterior_log_variance_clipped, t, nd)
+            max_log = _extract(jnp.log(sched.betas), t, nd)
+            frac = (var_frac_unnorm + 1.0) * 0.5  # unnormalize_zero_to_one
+            if self.config.learned_variance_constrain_frac:
+                frac = jax.nn.sigmoid(frac)
+            log_var = frac * max_log + (1.0 - frac) * min_log
+            var = jnp.exp(log_var)
+
+        return mean, var, log_var, x_start
+
+    # ------------------------------------------------------------------ #
+    # DDPM ancestral sampling loop as lax.scan (reference :1620-1755)
+    # ------------------------------------------------------------------ #
+    def p_sample_loop_ddpm(
+        self,
+        i: int,
+        unet_params,
+        rng: jax.Array,
+        shape: Tuple[int, ...],
+        *,
+        cond_scale: float = 1.0,
+        is_latent: bool = False,
+        **cond_kwargs,
+    ) -> jnp.ndarray:
+        sched = self.schedules[i]
+        ucfg = self.unet_configs[i]
+        b = shape[0]
+
+        k_init, k_loop = jax.random.split(rng)
+        x_T = jax.random.normal(k_init, shape)
+
+        lowres = cond_kwargs.get("lowres_cond_video")
+        if lowres is not None and not is_latent:
+            cond_kwargs = dict(cond_kwargs)
+            cond_kwargs["lowres_cond_video"] = self._normalize(lowres)
+
+        def step(carry, time_scalar):
+            x, x_start_prev, key = carry
+            key, k_noise = jax.random.split(key)
+            t = jnp.full((b,), time_scalar, jnp.int32)
+            self_cond = x_start_prev if ucfg.self_cond else None
+            mean, _, log_var, x_start = self._p_mean_variance(
+                i,
+                unet_params,
+                x,
+                t,
+                clip_denoised=self.config.clip_denoised and not is_latent,
+                cond_scale=cond_scale,
+                self_cond=self_cond,
+                **cond_kwargs,
+            )
+            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            nonzero = (time_scalar > 0).astype(x.dtype)
+            x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+            return (x_next, x_start, key), None
+
+        times = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+        (x, _, _), _ = jax.lax.scan(step, (x_T, jnp.zeros(shape), k_loop), times)
+        return self._unnormalize(x) if not is_latent else x
+
+    # ------------------------------------------------------------------ #
+    # DDIM sampling (reference :1757-1889; repaired for video — quirk #2)
+    # ------------------------------------------------------------------ #
+    def p_sample_loop_ddim(
+        self,
+        i: int,
+        unet_params,
+        rng: jax.Array,
+        shape: Tuple[int, ...],
+        *,
+        timesteps: int,
+        cond_scale: float = 1.0,
+        is_latent: bool = False,
+        **cond_kwargs,
+    ) -> jnp.ndarray:
+        sched = self.schedules[i]
+        ucfg = self.unet_configs[i]
+        eta = self.config.ddim_sampling_eta
+        b = shape[0]
+        total = sched.num_timesteps
+
+        # static time pair schedule (reference :1780-1785)
+        times = np.linspace(0.0, total, timesteps + 2)[:-1].astype(int)
+        times = list(reversed(times.tolist()))
+        pairs = [(a, bb) for a, bb in zip(times[:-1], times[1:]) if a > bb]
+        t_nows = jnp.array([p[0] for p in pairs], jnp.int32)
+        t_nexts = jnp.array([p[1] for p in pairs], jnp.int32)
+
+        k_init, k_loop = jax.random.split(rng)
+        x_T = jax.random.normal(k_init, shape)
+
+        lowres = cond_kwargs.get("lowres_cond_video")
+        if lowres is not None and not is_latent:
+            cond_kwargs = dict(cond_kwargs)
+            cond_kwargs["lowres_cond_video"] = self._normalize(lowres)
+
+        acp = sched.alphas_cumprod
+        clip_denoised = self.config.clip_denoised and not is_latent
+
+        def step(carry, tpair):
+            x, x_start_prev, key = carry
+            t_now, t_next = tpair
+            key, k_noise = jax.random.split(key)
+            t = jnp.full((b,), t_now, jnp.int32)
+            self_cond = x_start_prev if ucfg.self_cond else None
+            out = self._unet_apply(
+                i, unet_params, x, t, cond_scale=cond_scale,
+                self_cond=self_cond, **cond_kwargs,
+            )
+            pred, _ = self.parse_unet_output(self.learned_variance[i], out)
+            if self.predict_v[i]:
+                x_start = sched.predict_start_from_v(x, t, pred)
+            elif self.predict_x_start[i]:
+                x_start = pred
+            else:
+                x_start = sched.predict_start_from_noise(x, t, pred)
+            if clip_denoised:
+                x_start = self.dynamic_threshold(x_start)
+            pred_noise = sched.predict_noise_from_start(x, t, x_start)
+
+            alpha = acp[t_now]
+            alpha_next = acp[t_next]
+            c1 = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+            c2 = jnp.sqrt(jnp.maximum((1 - alpha_next) - c1**2, 0.0))
+            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            not_last = (t_next > 0).astype(x.dtype)
+            x_next = (
+                x_start * jnp.sqrt(alpha_next) + c1 * noise * not_last + c2 * pred_noise
+            )
+            return (x_next, x_start, key), None
+
+        (x, _, _), _ = jax.lax.scan(
+            step, (x_T, jnp.zeros(shape), k_loop), (t_nows, t_nexts)
+        )
+        return self._unnormalize(x) if not is_latent else x
+
+    # ------------------------------------------------------------------ #
+    # cascade sampling (reference sample :2053-2186)
+    # ------------------------------------------------------------------ #
+    def sample_stage(
+        self,
+        i: int,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        *,
+        batch_size: int,
+        prev_video: Optional[jnp.ndarray] = None,
+        video_embed: Optional[jnp.ndarray] = None,
+        text_encodings: Optional[jnp.ndarray] = None,
+        cond_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        """Sample one cascade stage. Pure function of (params, rng, conds) —
+        jit per stage. Returns video in [0,1], (b, T_i, S_i, S_i, C)."""
+        cfg = self.config
+        ucfg = self.unet_configs[i]
+        vae = self.vaes[i]
+        frame_size = cfg.frame_sizes[i]
+        frame_number = cfg.frame_numbers[i]
+
+        k_lowres, k_loop = jax.random.split(rng)
+
+        cond_kwargs: Dict[str, Any] = {}
+        if ucfg.cond_on_video_embeds:
+            cond_kwargs["video_embed"] = video_embed
+        if ucfg.cond_on_text_encodings:
+            cond_kwargs["text_encodings"] = text_encodings
+
+        if ucfg.lowres_cond:
+            assert prev_video is not None
+            lowres = resize_video(
+                prev_video, frame_size, method="nearest", clamp_range=(0.0, 1.0)
+            )
+            lowres = resize_video_time(lowres, frame_number, method="nearest")
+            if self.use_noise_for_lowres[i]:
+                level = jnp.full(
+                    (batch_size,),
+                    int(cfg.lowres_noise_sample_level * 1000),
+                    jnp.int32,
+                )
+                lowres, _ = noise_video(
+                    k_lowres, lowres, self.lowres_noise_schedule,
+                    self.lowres_configs[i], level,
+                )
+                cond_kwargs["lowres_noise_level"] = level
+            cond_kwargs["lowres_cond_video"] = lowres
+
+        latent_size = vae.get_encoded_fmap_size(frame_size)
+        shape = (batch_size, frame_number, latent_size, latent_size, vae.encoded_dim)
+
+        vae_params = params.get(f"vae_{i}")
+        if vae.is_latent and cond_kwargs.get("lowres_cond_video") is not None:
+            cond_kwargs["lowres_cond_video"] = vae.encode(
+                vae_params, cond_kwargs["lowres_cond_video"]
+            )
+
+        st = self.sample_timesteps[i]
+        if st is not None and st < cfg.timesteps:
+            vid = self.p_sample_loop_ddim(
+                i, params[f"unet_{i}"], k_loop, shape,
+                timesteps=st, cond_scale=cond_scale, is_latent=vae.is_latent,
+                **cond_kwargs,
+            )
+        else:
+            vid = self.p_sample_loop_ddpm(
+                i, params[f"unet_{i}"], k_loop, shape,
+                cond_scale=cond_scale, is_latent=vae.is_latent, **cond_kwargs,
+            )
+        return vae.decode(vae_params, vid)
+
+    def sample(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        *,
+        video_embed: Optional[jnp.ndarray] = None,
+        text_encodings: Optional[jnp.ndarray] = None,
+        batch_size: int = 1,
+        cond_scale: Union[float, Tuple[float, ...]] = 1.0,
+        start_at_unet_number: int = 1,
+        stop_at_unet_number: Optional[int] = None,
+        video: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Full cascade sampling (host-side loop over jittable stages)."""
+        cfg = self.config
+        assert cfg.unconditional or video_embed is not None
+        if not cfg.unconditional:
+            batch_size = video_embed.shape[0]
+        assert not (self.condition_on_text_encodings and text_encodings is None)
+        assert not (not self.condition_on_text_encodings and text_encodings is not None)
+
+        n = cfg.num_unets
+        cond_scales = _cast_tuple(cond_scale, n)
+
+        vid = None
+        if start_at_unet_number > 1:
+            assert video is not None, "video required when starting mid-cascade"
+            prev_size = cfg.frame_sizes[start_at_unet_number - 2]
+            vid = resize_video(video, prev_size, method="nearest")
+
+        keys = jax.random.split(rng, n)
+        for i in range(n):
+            if (i + 1) < start_at_unet_number:
+                continue
+            vid = self.sample_stage(
+                i,
+                params,
+                keys[i],
+                batch_size=batch_size,
+                prev_video=vid,
+                video_embed=video_embed,
+                text_encodings=text_encodings,
+                cond_scale=cond_scales[i],
+            )
+            if stop_at_unet_number is not None and stop_at_unet_number == i + 1:
+                break
+        return vid

@@ -1,0 +1,428 @@
+"""UNet3D building blocks — TPU-native rewrites of the reference L1 layer.
+
+Reference citations (all /root/reference/dalle2_video/dalle2_video.py unless
+noted): Downsample3D :19-26, NearestUpsample3D :29-35, PixelShuffleUpsample3D
+:38-78, Block3D :99-133, ResnetBlock3D :136-205, CrossEmbedLayer3D :208-244;
+plus the inherited dalle2-pytorch Attention/CrossAttention/LinearAttention/
+SinusoidalPosEmb/UpsampleCombiner semantics (SURVEY.md §2b).
+
+TPU-first design choices:
+  * layout (B, T, H, W, C): feature dim on lanes
+  * every conv in the reference is space-only (1,k,k) — we run it as a 2D
+    conv over the folded (B*T) batch, the shape XLA tiles best on the MXU
+  * joint t*h*w attention is one batched MQA matmul (Pallas flash kernel is
+    wired in ops/pallas once sequence length justifies it)
+  * no Python loops over frames anywhere
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dalle2_video_tpu.ops.video import (
+    pixel_shuffle_spatial,
+    pixel_unshuffle_spatial,
+    resize_video,
+)
+
+# Matches torch's nn.Linear/nn.Conv default kaiming_uniform(a=sqrt(5)):
+# U(+-sqrt(1/fan_in)). (Bias divergence: we use zeros instead of torch's
+# U(+-1/sqrt(fan_in)) — documented, training-neutral.)
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.clip(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+class ScaleOnlyLayerNorm(nn.Module):
+    """dalle2-pytorch's LayerNorm: learned scale, no bias, eps 1e-5."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(use_bias=False, epsilon=1e-5)(x)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Sinusoidal timestep embedding (inherited SinusoidalPosEmb semantics)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        half = self.dim // 2
+        freqs = jnp.exp(
+            jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1))
+        )
+        args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class SpatialConv(nn.Module):
+    """Space-only video conv: the reference's (1, k, k) Conv3d, executed as a
+    2D conv over the folded (B*T) batch (reference Block3D dalle2_video.py:107:
+    'we change each 3x3 convolution into a 1x3x3 convolution')."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = torch_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, h, w, c = x.shape
+        y = x.reshape(b * t, h, w, c)
+        y = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="SAME" if self.stride == 1 else [(  # torch-style floor pad
+                (self.kernel_size - self.stride) // 2,
+                (self.kernel_size - self.stride + 1) // 2,
+            )] * 2,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+        )(y)
+        return y.reshape(b, t, y.shape[1], y.shape[2], self.features)
+
+
+class Block3D(nn.Module):
+    """conv(1,3,3) -> GroupNorm -> FiLM scale/shift -> SiLU
+    (reference Block3D, dalle2_video.py:99-133)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        x = SpatialConv(self.dim_out, 3, name="project")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift  # each (b, dim_out)
+            x = x * (scale[:, None, None, None, :] + 1.0) + shift[:, None, None, None, :]
+        return nn.silu(x)
+
+
+class CrossAttention(nn.Module):
+    """Token cross-attention with learned null kv (inherited CrossAttention
+    semantics; used by ResnetBlock3D at reference dalle2_video.py:160-162)."""
+
+    dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    cosine_sim: bool = False
+    cosine_sim_scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x, context, mask: Optional[jnp.ndarray] = None):
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        inner = h * d
+
+        x_in = ScaleOnlyLayerNorm(name="norm")(x)
+        q = nn.Dense(inner, use_bias=False, kernel_init=torch_kernel_init, name="to_q")(x_in)
+        kv = nn.Dense(2 * inner, use_bias=False, kernel_init=torch_kernel_init, name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, -1, h, d)
+        v = v.reshape(b, -1, h, d)
+
+        # learned null key/value prepended — lets CFG-dropped tokens attend to
+        # "nothing" gracefully
+        null_kv = self.param("null_kv", nn.initializers.normal(1.0), (2, d))
+        nk = jnp.broadcast_to(null_kv[0], (b, 1, h, d))
+        nv = jnp.broadcast_to(null_kv[1], (b, 1, h, d))
+        k = jnp.concatenate([nk, k], axis=1)
+        v = jnp.concatenate([nv, v], axis=1)
+
+        if self.cosine_sim:
+            q, k = l2norm(q), l2norm(k)
+            scale = self.cosine_sim_scale
+        else:
+            scale = d**-0.5
+
+        sim = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+            sim = jnp.where(mask[:, None, None, :], sim, jnp.finfo(sim.dtype).min)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, name="to_out")(out)
+        return ScaleOnlyLayerNorm(name="out_norm")(out)
+
+
+class Attention(nn.Module):
+    """Self-attention, multi-query (q heads share one kv head) with a learned
+    null kv — inherited dalle2-pytorch Attention semantics (SURVEY.md §2b).
+    MQA cuts kv HBM traffic ~heads-fold: ideal for the 23k-token joint t*h*w
+    bottleneck (reference dalle2_video.py:430-431, 542-558)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    causal: bool = False
+    cosine_sim: bool = False
+    cosine_sim_scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        inner = h * d
+
+        x_in = ScaleOnlyLayerNorm(name="norm")(x)
+        q = nn.Dense(inner, use_bias=False, kernel_init=torch_kernel_init, name="to_q")(x_in)
+        kv = nn.Dense(2 * d, use_bias=False, kernel_init=torch_kernel_init, name="to_kv")(x_in)
+        k, v = jnp.split(kv, 2, axis=-1)  # (b, n, d) single kv head
+
+        q = q.reshape(b, n, h, d)
+        null_kv = self.param("null_kv", nn.initializers.normal(1.0), (2, d))
+        k = jnp.concatenate([jnp.broadcast_to(null_kv[0], (b, 1, d)), k], axis=1)
+        v = jnp.concatenate([jnp.broadcast_to(null_kv[1], (b, 1, d)), v], axis=1)
+
+        if self.cosine_sim:
+            q, k = l2norm(q), l2norm(k)
+            scale = self.cosine_sim_scale
+        else:
+            scale = d**-0.5
+
+        sim = jnp.einsum("bnhd,bmd->bhnm", q * scale, k)
+        if mask is not None:
+            m = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+            sim = jnp.where(m[:, None, None, :], sim, jnp.finfo(sim.dtype).min)
+        if self.causal:
+            i = jnp.arange(n)[:, None]
+            j = jnp.arange(n + 1)[None, :]
+            causal_mask = j <= i + 1  # +1: null kv always visible
+            sim = jnp.where(causal_mask[None, None], sim, jnp.finfo(sim.dtype).min)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bmd->bnhd", attn, v).reshape(b, n, inner)
+        out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, name="to_out")(out)
+        return ScaleOnlyLayerNorm(name="out_norm")(out)
+
+
+class JointSpaceTimeAttention(nn.Module):
+    """RearrangeToSequence(Residual(Attention)) equivalent: flatten all of
+    (t, h, w) into one token axis, attend jointly, restore, residual
+    (reference dalle2_video.py:430-431 via dalle2-pytorch RearrangeToSequence).
+    This is the ONLY temporal mixing in the base Unet3D (SURVEY.md §2e.5)."""
+
+    dim: int
+    heads: int = 16
+    dim_head: int = 32
+    cosine_sim: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        tokens = x.reshape(b, t * h * w, c)
+        out = Attention(
+            self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            cosine_sim=self.cosine_sim,
+            name="attn",
+        )(tokens)
+        return x + out.reshape(b, t, h, w, c)
+
+
+class LinearAttention(nn.Module):
+    """Efficient (linear) attention over each frame's spatial tokens, used for
+    the `sparse_attn` stage option. NOTE: in the reference, sparse_attn=True
+    would crash (2D-conv LinearAttention fed 5D video — SURVEY.md quirk); we
+    implement the evident intent: per-frame linear attention, residual."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        hd, d = self.heads, self.dim_head
+        inner = hd * d
+        tokens = x.reshape(b * t, h * w, c)
+        tokens_n = ScaleOnlyLayerNorm(name="norm")(tokens)
+        qkv = nn.Dense(3 * inner, use_bias=False, kernel_init=torch_kernel_init, name="to_qkv")(tokens_n)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        rs = lambda a: a.reshape(b * t, h * w, hd, d)
+        q, k, v = rs(q), rs(k), rs(v)
+        q = jax.nn.softmax(q, axis=-1) * (d**-0.5)
+        k = jax.nn.softmax(k, axis=1)
+        ctx = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bnhd,bhde->bnhe", q, ctx).reshape(b * t, h * w, inner)
+        out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, name="to_out")(out)
+        out = ScaleOnlyLayerNorm(name="out_norm")(out)
+        return x + out.reshape(b, t, h, w, c)
+
+
+class ResnetBlock3D(nn.Module):
+    """Two Block3Ds + FiLM time conditioning + optional cross-attention over
+    flattened (t h w) tokens + residual 1x1 conv
+    (reference ResnetBlock3D, dalle2_video.py:136-205)."""
+
+    dim_out: int
+    cond_dim: Optional[int] = None
+    time_cond_dim: Optional[int] = None
+    groups: int = 8
+    cosine_sim_cross_attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, time_emb=None, cond=None):
+        scale_shift = None
+        if self.time_cond_dim is not None and time_emb is not None:
+            te = nn.silu(time_emb)
+            te = nn.Dense(self.dim_out * 2, kernel_init=torch_kernel_init, name="time_mlp")(te)
+            scale_shift = jnp.split(te, 2, axis=-1)
+
+        h = Block3D(self.dim_out, groups=self.groups, name="block1")(x, scale_shift)
+
+        if self.cond_dim is not None:
+            assert cond is not None, "cross-attention block requires cond tokens"
+            b, t, hh, ww, c = h.shape
+            tokens = h.reshape(b, t * hh * ww, c)
+            tokens = (
+                CrossAttention(
+                    self.dim_out,
+                    context_dim=self.cond_dim,
+                    cosine_sim=self.cosine_sim_cross_attn,
+                    name="cross_attn",
+                )(tokens, cond)
+                + tokens
+            )
+            h = tokens.reshape(b, t, hh, ww, c)
+
+        h = Block3D(self.dim_out, groups=self.groups, name="block2")(h)
+
+        if x.shape[-1] != self.dim_out:
+            x = SpatialConv(self.dim_out, 1, name="res_conv")(x)
+        return h + x
+
+
+class Downsample3D(nn.Module):
+    """Pixel-unshuffle (2x space) + 1x1 conv — 'SP-conv' downsample
+    (reference dalle2_video.py:19-26)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = pixel_unshuffle_spatial(x, 2)
+        return SpatialConv(self.dim_out, 1, name="conv")(x)
+
+
+class NearestUpsample3D(nn.Module):
+    """Nearest 2x spatial upsample + (1,3,3) conv (reference :29-35)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        x = resize_video(x, h * 2, method="nearest")
+        return SpatialConv(self.dim_out, 3, name="conv")(x)
+
+
+def _icnr_init(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform draw of (in, out) then 4x tile along subpixels so all
+    four subpixels of each output channel are identical at init — the
+    checkerboard-free init of reference PixelShuffleUpsample3D (:55-62).
+    Kernel layout must match pixel_shuffle_spatial's (c, s1, s2) channel order.
+    """
+    fan_in, fan_out4 = shape[-2], shape[-1]
+    base = torch_kernel_init(key, shape[:-1] + (fan_out4 // 4,), dtype)
+    return jnp.repeat(base, 4, axis=-1)  # (in, c*4) with subpixels contiguous
+
+
+class PixelShuffleUpsample3D(nn.Module):
+    """1x1 conv to 4x channels (ICNR init) -> SiLU -> frame-wise pixel shuffle
+    (reference PixelShuffleUpsample3D, dalle2_video.py:38-78)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        y = x.reshape(b, t, h, w, c)
+        y = nn.Dense(
+            self.dim_out * 4,
+            kernel_init=_icnr_init,
+            bias_init=nn.initializers.zeros,
+            name="conv",
+        )(y)
+        y = nn.silu(y)
+        return pixel_shuffle_spatial(y, 2)
+
+
+class CrossEmbedLayer3D(nn.Module):
+    """Multi-scale stem: parallel space-only convs at several kernel sizes,
+    channel-split concat; time kernel forced to 1
+    (reference CrossEmbedLayer3D, dalle2_video.py:208-244)."""
+
+    dim_out: int
+    kernel_sizes: Sequence[int] = (3, 7, 15)
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        assert all((k % 2) == (self.stride % 2) for k in self.kernel_sizes)
+        ksizes = sorted(self.kernel_sizes)
+        dim_scales = [self.dim_out // (2**i) for i in range(1, len(ksizes))]
+        dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
+        fmaps = [
+            SpatialConv(d, k, stride=self.stride, name=f"conv{i}")(x)
+            for i, (k, d) in enumerate(zip(ksizes, dim_scales))
+        ]
+        return jnp.concatenate(fmaps, axis=-1)
+
+
+class UpsampleCombiner(nn.Module):
+    """Optionally combine all upsample-path fmaps at the final resolution
+    (inherited UpsampleCombiner; reference usage dalle2_video.py:619-624).
+    dim_out = dim + len(fmaps)*dim when enabled, else dim."""
+
+    dim: int
+    enabled: bool = False
+
+    @nn.compact
+    def __call__(self, x, fmaps: Sequence[jnp.ndarray]):
+        if not self.enabled or not fmaps:
+            return x
+        target = x.shape[2]
+        outs = []
+        for i, fmap in enumerate(fmaps):
+            fmap = resize_video(fmap, target, method="nearest")
+            outs.append(Block3D(self.dim, name=f"fmap_block{i}")(fmap))
+        return jnp.concatenate([x, *outs], axis=-1)
+
+
+class TimeConditioning(nn.Module):
+    """time -> (time_tokens, time_cond): SinusoidalPosEmb -> Dense+GELU ->
+    {token head, cond head} (reference to_time_hiddens/to_time_tokens/
+    to_time_cond, dalle2_video.py:348-357)."""
+
+    dim: int
+    cond_dim: int
+    time_cond_dim: int
+    num_time_tokens: int = 2
+
+    @nn.compact
+    def __call__(self, time):
+        hiddens = SinusoidalPosEmb(self.dim, name="sinu")(time)
+        hiddens = nn.Dense(self.time_cond_dim, kernel_init=torch_kernel_init, name="to_hiddens")(hiddens)
+        hiddens = nn.gelu(hiddens, approximate=False)
+        tokens = nn.Dense(
+            self.cond_dim * self.num_time_tokens,
+            kernel_init=torch_kernel_init,
+            name="to_tokens",
+        )(hiddens).reshape(hiddens.shape[0], self.num_time_tokens, self.cond_dim)
+        cond = nn.Dense(self.time_cond_dim, kernel_init=torch_kernel_init, name="to_cond")(hiddens)
+        return tokens, cond

@@ -1,0 +1,143 @@
+"""Sharded train/sample step factories — the GSPMD replacement for
+Accelerate/DeepSpeed (reference trainer.py:30,102,117-126 + ZeRO json).
+
+Strategy (SURVEY.md §2d):
+  * batch axis -> 'data' (DP): the partitioner inserts the gradient psum
+    over ICI, replacing NCCL all-reduce.
+  * optimizer state (adam mu/nu) -> sharded along 'data' on each leaf's
+    largest divisible axis (ZeRO-1 equivalent, replacing DeepSpeed stage-1
+    + CPU offload — no host offload needed at this scale in HBM).
+  * params -> replicated by default; 'model' axis reserved for TP of
+    attention/dense kernels (wired via sharding rules below).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dalle2_video_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from dalle2_video_tpu.train.trainer import DecoderTrainer, TrainState
+
+
+def _leaf_zero1_spec(leaf, data_size: int) -> P:
+    """ZeRO-1-style spec: shard the largest axis divisible by the data-axis
+    size; replicate scalars/small leaves."""
+    shape = getattr(leaf, "shape", ())
+    if not shape:
+        return P()
+    best_axis, best_len = None, 0
+    for ax, ln in enumerate(shape):
+        if ln % data_size == 0 and ln > best_len:
+            best_axis, best_len = ax, ln
+    if best_axis is None or best_len < data_size:
+        return P()
+    spec = [None] * len(shape)
+    spec[best_axis] = DATA_AXIS
+    return P(*spec)
+
+
+def zero1_sharding_tree(tree: Any, mesh: Mesh):
+    """NamedSharding tree for optimizer state: ZeRO-1 partitioning."""
+    data_size = mesh.shape[DATA_AXIS]
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _leaf_zero1_spec(leaf, data_size)), tree
+    )
+
+
+def replicated_tree(tree: Any, mesh: Mesh):
+    return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def state_shardings(state: TrainState, mesh: Mesh, zero1: bool = True) -> TrainState:
+    """Sharding pytree matching a TrainState."""
+    params_sh = replicated_tree(state.params, mesh)
+    if zero1:
+        opt_sh = jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(
+                mesh, _leaf_zero1_spec(leaf, mesh.shape[DATA_AXIS])
+            ),
+            state.opt_states,
+        )
+    else:
+        opt_sh = replicated_tree(state.opt_states, mesh)
+    ema_sh = replicated_tree(state.ema, mesh)
+    steps_sh = NamedSharding(mesh, P())
+    return TrainState(
+        params=params_sh, opt_states=opt_sh, ema=ema_sh, steps=steps_sh
+    )
+
+
+def shard_state(state: TrainState, mesh: Mesh, zero1: bool = True) -> TrainState:
+    sh = state_shardings(state, mesh, zero1)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, sh,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def make_sharded_train_step(
+    trainer: DecoderTrainer,
+    mesh: Mesh,
+    unet_number: int = 1,
+    *,
+    with_embed: bool = True,
+    with_text: bool = False,
+    zero1: bool = True,
+    donate_state: bool = True,
+):
+    """Compile one data-parallel train step over the mesh.
+
+    Returns step(state, rng, video[, video_embed][, text_encodings])
+    -> (state, loss). Batch arrays must be sharded P('data') on axis 0
+    (use parallel.mesh.shard_batch).
+    """
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def step(state, rng, video, video_embed=None, text_encodings=None):
+        return trainer.train_step(
+            state, rng, video,
+            video_embed=video_embed,
+            text_encodings=text_encodings,
+            unet_number=unet_number,
+        )
+
+    in_shardings: list = [None, repl, batch_sh]
+    if with_embed:
+        in_shardings.append(batch_sh)
+    if with_text:
+        in_shardings.append(batch_sh)
+
+    def wrapped(state, rng, video, *conds):
+        video_embed = conds[0] if with_embed else None
+        text = (conds[1] if with_embed else conds[0]) if with_text else None
+        return step(state, rng, video, video_embed, text)
+
+    return jax.jit(
+        wrapped,
+        in_shardings=tuple(in_shardings),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def make_sharded_sample_stage(decoder, mesh: Mesh, stage_index: int, **fixed):
+    """Jit one cascade stage's sampler with batch-data sharding."""
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def run(params, rng, video_embed, prev_video):
+        return decoder.sample_stage(
+            stage_index, params, rng,
+            batch_size=video_embed.shape[0],
+            prev_video=prev_video,
+            video_embed=video_embed,
+            **fixed,
+        )
+
+    return jax.jit(run, in_shardings=(repl, repl, batch_sh, batch_sh))

@@ -1,0 +1,52 @@
+"""Sharding-aware checkpointing of the full training state via orbax.
+
+Replaces the reference's two mechanisms (SURVEY.md §5): entry-point level
+``torch.save(state_dict)`` (train_decoder.py:177-184) and trainer-level
+``VideoDecoderTrainer.save/load`` bundles (trainer.py:158-235: model,
+per-unet optimizer/scheduler state, per-unet step counters, EMA weights,
+version stamp with mismatch warning).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from dalle2_video_tpu import __version__
+
+logger = logging.getLogger("dalle2_video_tpu")
+
+_VERSION_KEY = "framework_version"
+
+
+def save_checkpoint(path: str, state: Any, *, step: Optional[int] = None, overwrite: bool = True) -> None:
+    """Save a (possibly sharded) pytree train state + version stamp."""
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"state": state, _VERSION_KEY: __version__}
+    if path.exists() and overwrite:
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    """Restore into the structure/shardings of ``target`` (an abstract or
+    concrete state pytree). Warns on version mismatch (reference
+    trainer.py:203-207)."""
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path, {"state": target, _VERSION_KEY: __version__})
+    if payload[_VERSION_KEY] != __version__:
+        logger.warning(
+            "loading checkpoint written by version %s; current version is %s",
+            payload[_VERSION_KEY],
+            __version__,
+        )
+    return payload["state"]

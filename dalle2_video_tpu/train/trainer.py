@@ -1,0 +1,260 @@
+"""VideoDecoderTrainer — GSPMD-native training loop state + step functions.
+
+Replaces reference ``VideoDecoderTrainer`` (/root/reference/dalle2_video/
+trainer.py:9-365): per-unet optimizers with weight-decay grouping
+(get_optimizer), per-unet cosine/constant LR schedules with linear warmup,
+per-unet EMA shadows, per-unet step counters, grad clipping (0.5), and
+checkpoint save/load of the full training state.
+
+TPU-first replacements:
+  * HF Accelerate/DeepSpeed-ZeRO (reference trainer.py:30,102,117-126)
+    -> one `jax.jit` over a ('data','model') Mesh: batch sharded on data,
+    gradient psum inserted by the partitioner; optimizer state sharded along
+    data (ZeRO-equivalent) purely via sharding specs (SURVEY.md §2d).
+  * fp16 loss scaling -> bf16 compute policy, fp32 params/optimizer.
+  * micro-batch chunking (split_args_and_kwargs, trainer.py:335-360)
+    -> `grad_accum` folds a lax.scan over microbatches inside ONE jitted
+    step — same math, no Python loop, no host sync.
+  * torch.save -> orbax (see train/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dalle2_video_tpu.engine.decoder import VideoDecoder
+from dalle2_video_tpu.train.ema import EMAConfig, EMAState, ema_init, ema_update
+
+
+def _cast_tuple(v, length: int):
+    if isinstance(v, (tuple, list)):
+        assert len(v) == length
+        return tuple(v)
+    return (v,) * length
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderTrainerConfig:
+    """Reference VideoDecoderTrainer knobs (trainer.py:11-27 + yaml:71-76)."""
+
+    lr: Union[float, Tuple[float, ...]] = 1e-4
+    wd: Union[float, Tuple[float, ...]] = 1e-2
+    eps: Union[float, Tuple[float, ...]] = 1e-8
+    warmup_steps: Union[None, int, Tuple[Optional[int], ...]] = None
+    cosine_decay_max_steps: Union[None, int, Tuple[Optional[int], ...]] = None
+    max_grad_norm: Optional[float] = 0.5
+    use_ema: bool = True
+    ema: EMAConfig = EMAConfig()
+    group_wd_params: bool = True
+    # bf16 activations/compute; params and optimizer state stay fp32
+    bf16_compute: bool = False
+    grad_accum: int = 1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Dict[str, Any]  # {"unet_i": ..., "vae_i": ...}
+    opt_states: Tuple[Any, ...]  # one per unet
+    ema: Tuple[Optional[EMAState], ...]  # one per unet (None if disabled)
+    steps: jnp.ndarray  # (num_unets,) int32
+
+
+def _wd_mask(params):
+    """Weight decay only on >=2D kernels (get_optimizer group_wd_params)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
+
+
+class DecoderTrainer:
+    """Holds static config + optax transforms; state is an explicit pytree."""
+
+    def __init__(self, decoder: VideoDecoder, cfg: DecoderTrainerConfig = DecoderTrainerConfig()):
+        self.decoder = decoder
+        self.cfg = cfg
+        n = decoder.config.num_unets
+        self.num_unets = n
+
+        lr = _cast_tuple(cfg.lr, n)
+        assert all(l <= 1e-2 for l in lr), (
+            "learning rate too high; recommend <= 5e-4 (reference trainer.py:46)"
+        )
+        wd = _cast_tuple(cfg.wd, n)
+        eps = _cast_tuple(cfg.eps, n)
+        warmup = _cast_tuple(cfg.warmup_steps, n)
+        cosine = _cast_tuple(cfg.cosine_decay_max_steps, n)
+
+        self.optimizers = []
+        self.schedules = []
+        for i in range(n):
+            if cosine[i] is not None:
+                base = optax.cosine_decay_schedule(lr[i], cosine[i])
+            else:
+                base = optax.constant_schedule(lr[i])
+            if warmup[i]:
+                # pytorch-warmup LinearWarmup dampens multiplicatively:
+                # factor = min(1, (step+1)/warmup)
+                sched = lambda step, b=base, w=warmup[i]: b(step) * jnp.minimum(
+                    1.0, (step + 1.0) / w
+                )
+            else:
+                sched = base
+            self.schedules.append(sched)
+
+            chain = []
+            if cfg.max_grad_norm is not None:
+                chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+            chain.append(optax.scale_by_adam(eps=eps[i]))
+            if wd[i] > 0:
+                mask = _wd_mask if cfg.group_wd_params else None
+                chain.append(optax.add_decayed_weights(wd[i], mask=mask))
+            chain.append(optax.scale_by_learning_rate(sched))
+            self.optimizers.append(optax.chain(*chain))
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, rng: jax.Array, params: Optional[Dict[str, Any]] = None) -> TrainState:
+        if params is None:
+            params = self.decoder.init_params(rng)
+        opt_states = tuple(
+            self.optimizers[i].init(params[f"unet_{i}"]) for i in range(self.num_unets)
+        )
+        ema = tuple(
+            ema_init(params[f"unet_{i}"]) if self.cfg.use_ema else None
+            for i in range(self.num_unets)
+        )
+        return TrainState(
+            params=params,
+            opt_states=opt_states,
+            ema=ema,
+            steps=jnp.zeros((self.num_unets,), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ #
+    def train_step(
+        self,
+        state: TrainState,
+        rng: jax.Array,
+        video: jnp.ndarray,
+        *,
+        video_embed: Optional[jnp.ndarray] = None,
+        text_encodings: Optional[jnp.ndarray] = None,
+        unet_number: int = 1,
+    ) -> Tuple[TrainState, jnp.ndarray]:
+        """One fwd+bwd+update for one unet. Pure & jittable (unet_number
+        static). Reference equivalent: trainer.forward + update
+        (trainer.py:322-365, 247-274) fused into one compiled step."""
+        i = unet_number - 1
+        cfg = self.cfg
+
+        def loss_for_params(unet_params, key, vid, emb, txt):
+            p = dict(state.params)
+            p[f"unet_{i}"] = unet_params
+            if cfg.bf16_compute:
+                vid = vid.astype(jnp.bfloat16)
+            return self.decoder.loss(
+                p, key, vid,
+                video_embed=emb, text_encodings=txt, unet_number=unet_number,
+            )
+
+        unet_params = state.params[f"unet_{i}"]
+
+        if cfg.grad_accum > 1:
+            # microbatch accumulation inside the jitted step (replaces
+            # reference split_args_and_kwargs python chunking)
+            a = cfg.grad_accum
+            b = video.shape[0]
+            assert b % a == 0, f"batch {b} not divisible by grad_accum {a}"
+            mb = b // a
+            reshape = lambda x: None if x is None else x.reshape(a, mb, *x.shape[1:])
+            vids = reshape(video)
+            embs = reshape(video_embed)
+            txts = reshape(text_encodings)
+            keys = jax.random.split(rng, a)
+
+            def accum(carry, xs):
+                g_acc, l_acc = carry
+                key, vid = xs[0], xs[1]
+                emb = xs[2] if embs is not None else None
+                txt = xs[3] if txts is not None else None
+                l, g = jax.value_and_grad(loss_for_params)(unet_params, key, vid, emb, txt)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, unet_params)
+            xs = [keys, vids] + ([embs] if embs is not None else []) + (
+                [txts] if txts is not None else []
+            )
+            # normalize xs tuple layout: always (keys, vids, embs?, txts?)
+            xs_t = (keys, vids)
+            if embs is not None:
+                xs_t = xs_t + (embs,)
+            if txts is not None:
+                xs_t = xs_t + (txts,)
+            (grads, loss_sum), _ = jax.lax.scan(accum, (zeros, 0.0), xs_t)
+            grads = jax.tree_util.tree_map(lambda g: g / a, grads)
+            loss = loss_sum / a
+        else:
+            loss, grads = jax.value_and_grad(loss_for_params)(
+                unet_params, rng, video, video_embed, text_encodings
+            )
+
+        updates, new_opt = self.optimizers[i].update(
+            grads, state.opt_states[i], unet_params
+        )
+        new_unet_params = optax.apply_updates(unet_params, updates)
+
+        new_params = dict(state.params)
+        new_params[f"unet_{i}"] = new_unet_params
+
+        new_ema = list(state.ema)
+        if cfg.use_ema:
+            new_ema[i] = ema_update(state.ema[i], new_unet_params, cfg.ema)
+
+        new_opt_states = list(state.opt_states)
+        new_opt_states[i] = new_opt
+
+        new_steps = state.steps.at[i].add(1)
+        return (
+            TrainState(
+                params=new_params,
+                opt_states=tuple(new_opt_states),
+                ema=tuple(new_ema),
+                steps=new_steps,
+            ),
+            loss,
+        )
+
+    # ------------------------------------------------------------------ #
+    def eval_loss(
+        self,
+        state: TrainState,
+        rng: jax.Array,
+        video: jnp.ndarray,
+        *,
+        video_embed=None,
+        text_encodings=None,
+        unet_number: int = 1,
+    ) -> jnp.ndarray:
+        return self.decoder.loss(
+            state.params, rng, video,
+            video_embed=video_embed, text_encodings=text_encodings,
+            unet_number=unet_number,
+        )
+
+    # ------------------------------------------------------------------ #
+    def sampling_params(self, state: TrainState, use_ema: bool = True) -> Dict[str, Any]:
+        """Params dict with EMA shadows swapped in (reference trainer.sample
+        swaps EMA unets, trainer.py:276-304)."""
+        params = dict(state.params)
+        if use_ema and self.cfg.use_ema:
+            for i in range(self.num_unets):
+                params[f"unet_{i}"] = state.ema[i].params
+        return params
+
+    def sample(self, state: TrainState, rng: jax.Array, use_ema: bool = True, **kwargs):
+        return self.decoder.sample(self.sampling_params(state, use_ema), rng, **kwargs)

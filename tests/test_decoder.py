@@ -1,0 +1,228 @@
+"""VideoDecoder engine tests: loss, cascade wiring, DDPM/DDIM sampling
+(SURVEY.md §4, items 3+5 — golden fixtures + end-to-end smoke at tiny res)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+from dalle2_video_tpu.models import UNet3DConfig
+
+B, T = 2, 2
+EMB = 16
+
+
+def tiny_unet(**kw):
+    base = dict(
+        dim=8,
+        dim_mults=(1, 2),
+        attn_heads=2,
+        attn_dim_head=4,
+        num_resnet_blocks=1,
+        resnet_groups=4,
+        video_embed_dim=EMB,
+        init_cross_embed=False,
+        init_conv_ksize=3,
+    )
+    base.update(kw)
+    return UNet3DConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def cascade():
+    cfg = VideoDecoderConfig(
+        unets=(tiny_unet(), tiny_unet()),
+        frame_sizes=(8, 16),
+        frame_numbers=(T, T),
+        timesteps=20,
+        sample_timesteps=(None, 5),  # stage 2 exercises DDIM
+        learned_variance=True,  # first unet learned-var (reference default)
+        use_noise_for_lowres_cond=True,
+    )
+    dec = VideoDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(0))
+    return dec, params
+
+
+def test_cascade_resolution(cascade):
+    dec, params = cascade
+    # first unet: embed-conditioned, no lowres; second: lowres SR, no embed
+    assert dec.unet_configs[0].cond_on_video_embeds
+    assert not dec.unet_configs[0].lowres_cond
+    assert dec.unet_configs[1].lowres_cond
+    assert not dec.unet_configs[1].cond_on_video_embeds
+    # learned variance only on first unet (reference pad_tuple fillvalue=False)
+    assert dec.learned_variance == (True, False)
+    assert dec.unet_configs[0].channels_out == 6
+    assert dec.unet_configs[1].channels_out == 3
+    # default beta schedules: cosine for base, linear for SR (reference :1367)
+    assert float(dec.schedules[1].betas[0]) == pytest.approx(
+        (1000 / 20) * 1e-4, rel=1e-5
+    )
+    assert "unet_0" in params and "unet_1" in params
+
+
+def test_loss_base_unet(cascade):
+    dec, params = cascade
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 16, 16, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, EMB))
+    loss = dec.loss(
+        params, jax.random.PRNGKey(3), video, video_embed=emb, unet_number=1
+    )
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+
+
+def test_loss_sr_unet(cascade):
+    dec, params = cascade
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 16, 16, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, EMB))
+    loss = dec.loss(
+        params, jax.random.PRNGKey(3), video, video_embed=emb, unet_number=2
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_loss_is_jittable_and_differentiable(cascade):
+    dec, params = cascade
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 16, 16, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, EMB))
+
+    @jax.jit
+    def f(p, rng):
+        return dec.loss(p, rng, video, video_embed=emb, unet_number=1)
+
+    g = jax.grad(lambda p: f(p, jax.random.PRNGKey(0)))(params)
+    leaves = jax.tree_util.tree_leaves(g["unet_0"])
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_loss_changes_with_rng(cascade):
+    dec, params = cascade
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 16, 16, 3))
+    emb = jnp.zeros((B, EMB))
+    l1 = float(dec.loss(params, jax.random.PRNGKey(10), video, video_embed=emb))
+    l2 = float(dec.loss(params, jax.random.PRNGKey(11), video, video_embed=emb))
+    assert l1 != l2  # different timesteps/noise draws
+
+
+def test_full_cascade_sample(cascade):
+    dec, params = cascade
+    emb = jax.random.normal(jax.random.PRNGKey(4), (B, EMB))
+    vid = dec.sample(params, jax.random.PRNGKey(5), video_embed=emb, cond_scale=2.0)
+    assert vid.shape == (B, T, 16, 16, 3)
+    arr = np.asarray(vid)
+    assert np.all(np.isfinite(arr))
+    # clip_denoised + unnormalize keeps the result near [0, 1]
+    assert arr.min() >= -0.6 and arr.max() <= 1.6
+
+
+def test_stop_at_unet_number(cascade):
+    dec, params = cascade
+    emb = jax.random.normal(jax.random.PRNGKey(4), (B, EMB))
+    vid = dec.sample(
+        params, jax.random.PRNGKey(5), video_embed=emb, stop_at_unet_number=1
+    )
+    assert vid.shape == (B, T, 8, 8, 3)
+
+
+def test_start_mid_cascade(cascade):
+    dec, params = cascade
+    emb = jax.random.normal(jax.random.PRNGKey(4), (B, EMB))
+    base = jax.random.uniform(jax.random.PRNGKey(6), (B, T, 8, 8, 3))
+    vid = dec.sample(
+        params,
+        jax.random.PRNGKey(5),
+        video_embed=emb,
+        start_at_unet_number=2,
+        video=base,
+    )
+    assert vid.shape == (B, T, 16, 16, 3)
+
+
+def test_unconditional_decoder():
+    cfg = VideoDecoderConfig(
+        unets=(tiny_unet(video_embed_dim=None),),
+        frame_sizes=(8,),
+        frame_numbers=(T,),
+        timesteps=10,
+        learned_variance=False,
+        unconditional=True,
+    )
+    dec = VideoDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(0))
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 8, 8, 3))
+    loss = dec.loss(params, jax.random.PRNGKey(2), video)
+    assert np.isfinite(float(loss))
+    vid = dec.sample(params, jax.random.PRNGKey(3), batch_size=B)
+    assert vid.shape == (B, T, 8, 8, 3)
+
+
+def test_predict_v_and_x0_losses():
+    for px, pv in [(True, False), (False, True)]:
+        cfg = VideoDecoderConfig(
+            unets=(tiny_unet(),),
+            frame_sizes=(8,),
+            frame_numbers=(T,),
+            timesteps=10,
+            learned_variance=False,
+            predict_x_start=px,
+            predict_v=pv,
+        )
+        dec = VideoDecoder(cfg)
+        params = dec.init_params(jax.random.PRNGKey(0))
+        video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 8, 8, 3))
+        emb = jnp.zeros((B, EMB))
+        loss = dec.loss(params, jax.random.PRNGKey(2), video, video_embed=emb)
+        assert np.isfinite(float(loss))
+
+
+def test_dynamic_threshold():
+    cfg = VideoDecoderConfig(
+        unets=(tiny_unet(),),
+        frame_sizes=(8,),
+        frame_numbers=(T,),
+        timesteps=10,
+        learned_variance=False,
+        use_dynamic_thres=True,
+        dynamic_thres_percentile=0.9,
+    )
+    dec = VideoDecoder(cfg)
+    x = jnp.concatenate([jnp.ones((1, 100)) * 0.1, jnp.ones((1, 20)) * 5.0], axis=1)
+    x = x.reshape(1, 1, 1, 120, 1)
+    y = dec.dynamic_threshold(x)
+    assert float(jnp.abs(y).max()) <= 1.0
+    # static variant clips to [-1, 1]
+    dec2 = VideoDecoder(
+        VideoDecoderConfig(
+            unets=(tiny_unet(),), frame_sizes=(8,), frame_numbers=(T,),
+            timesteps=10, learned_variance=False,
+        )
+    )
+    y2 = dec2.dynamic_threshold(x)
+    np.testing.assert_allclose(np.asarray(y2).max(), 1.0)
+
+
+def test_text_conditioning_loss_and_assert():
+    cfg = VideoDecoderConfig(
+        unets=(tiny_unet(cond_on_text_encodings=True, text_embed_dim=12, max_text_len=6),),
+        frame_sizes=(8,),
+        frame_numbers=(T,),
+        timesteps=10,
+        learned_variance=False,
+    )
+    dec = VideoDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(0))
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 8, 8, 3))
+    emb = jnp.zeros((B, EMB))
+    text = jax.random.normal(jax.random.PRNGKey(2), (B, 4, 12))
+    # quirk #3 fixed: text-conditioned TRAINING must work
+    loss = dec.loss(
+        params, jax.random.PRNGKey(3), video, video_embed=emb, text_encodings=text
+    )
+    assert np.isfinite(float(loss))
+    # and omitting required text must raise
+    with pytest.raises(AssertionError):
+        dec.loss(params, jax.random.PRNGKey(3), video, video_embed=emb)

@@ -1,0 +1,187 @@
+"""UNet3D shape/conditioning tests (SURVEY.md §4, item 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle2_video_tpu.models import UNet3D, UNet3DConfig
+
+B, T, H, W, C = 2, 4, 16, 16, 3
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        dim=16,
+        dim_mults=(1, 2),
+        channels=C,
+        attn_heads=2,
+        attn_dim_head=8,
+        num_resnet_blocks=1,
+        resnet_groups=4,
+        video_embed_dim=32,
+        cond_on_video_embeds=True,
+        init_cross_embed_kernel_sizes=(3, 7),
+    )
+    base.update(kw)
+    return UNet3DConfig(**base)
+
+
+def init_and_run(cfg, **inputs):
+    model = UNet3D(cfg)
+    x = jnp.zeros((B, T, H, W, cfg.channels))
+    time = jnp.array([0, 500], dtype=jnp.int32)
+    kwargs = dict(inputs)
+    if cfg.cond_on_video_embeds and "video_embed" not in kwargs:
+        kwargs["video_embed"] = jnp.ones((B, cfg.video_embed_dim))
+    params = model.init(jax.random.PRNGKey(0), x, time, **kwargs)
+    out = model.apply(params, x, time, **kwargs)
+    return params, out
+
+
+def test_output_shape_base():
+    cfg = tiny_cfg()
+    _, out = init_and_run(cfg)
+    assert out.shape == (B, T, H, W, C)
+
+
+def test_zero_init_output_conv():
+    """to_out is zero-init, so output at init must be exactly zero."""
+    cfg = tiny_cfg()
+    _, out = init_and_run(cfg)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_learned_variance_channels_out():
+    cfg = tiny_cfg(channels_out=2 * C)
+    _, out = init_and_run(cfg)
+    assert out.shape == (B, T, H, W, 2 * C)
+
+
+def test_lowres_cond_shapes():
+    cfg = tiny_cfg(lowres_cond=True, lowres_noise_cond=True)
+    _, out = init_and_run(
+        cfg,
+        lowres_cond_video=jnp.zeros((B, T, H, W, C)),
+        lowres_noise_level=jnp.array([100, 200], jnp.int32),
+    )
+    assert out.shape == (B, T, H, W, C)
+
+
+def test_self_cond():
+    cfg = tiny_cfg(self_cond=True)
+    _, out = init_and_run(cfg, self_cond=jnp.zeros((B, T, H, W, C)))
+    assert out.shape == (B, T, H, W, C)
+
+
+def test_text_conditioning():
+    cfg = tiny_cfg(cond_on_text_encodings=True, text_embed_dim=24, max_text_len=10)
+    _, out = init_and_run(cfg, text_encodings=jnp.ones((B, 7, 24)))
+    assert out.shape == (B, T, H, W, C)
+
+
+def _derandomize_out_conv(params):
+    """to_out is zero-init (so output at init is 0 regardless of inputs);
+    replace it so conditioning differences reach the output."""
+    import flax
+
+    p = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+    kern = p["params"]["to_out"]["Conv_0"]["kernel"]
+    p["params"]["to_out"]["Conv_0"]["kernel"] = jnp.ones_like(kern) * 0.1
+    return p
+
+
+def test_cfg_null_masks_change_output():
+    """Dropping conditioning must route through null embeds: different output."""
+    cfg = tiny_cfg()
+    model = UNet3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, C))
+    time = jnp.array([10, 10], jnp.int32)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.video_embed_dim))
+    params = _derandomize_out_conv(
+        model.init(jax.random.PRNGKey(0), x, time, video_embed=emb)
+    )
+    kept = model.apply(params, x, time, video_embed=emb,
+                       video_keep_mask=jnp.array([True, True]))
+    dropped = model.apply(params, x, time, video_embed=emb,
+                          video_keep_mask=jnp.array([False, False]))
+    assert float(jnp.abs(kept - dropped).max()) > 1e-6
+
+
+def test_cfg_keep_mask_is_per_sample():
+    """Keep mask must act per batch row, not globally."""
+    cfg = tiny_cfg()
+    model = UNet3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, C))
+    time = jnp.array([10, 10], jnp.int32)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.video_embed_dim))
+    params = _derandomize_out_conv(
+        model.init(jax.random.PRNGKey(0), x, time, video_embed=emb)
+    )
+    mixed = model.apply(params, x, time, video_embed=emb,
+                        video_keep_mask=jnp.array([True, False]))
+    kept = model.apply(params, x, time, video_embed=emb,
+                       video_keep_mask=jnp.array([True, True]))
+    dropped = model.apply(params, x, time, video_embed=emb,
+                          video_keep_mask=jnp.array([False, False]))
+    np.testing.assert_allclose(np.asarray(mixed[0]), np.asarray(kept[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mixed[1]), np.asarray(dropped[1]), atol=1e-5)
+
+
+def test_memory_efficient_variant():
+    cfg = tiny_cfg(memory_efficient=True)
+    _, out = init_and_run(cfg)
+    assert out.shape == (B, T, H, W, C)
+
+
+def test_stage_self_attn_and_options():
+    cfg = tiny_cfg(
+        self_attn=(False, True),
+        scale_skip_connection=True,
+        combine_upsample_fmaps=True,
+        pixel_shuffle_upsample=False,
+        cross_embed_downsample=True,
+    )
+    _, out = init_and_run(cfg)
+    assert out.shape == (B, T, H, W, C)
+
+
+def test_cascade_cast():
+    cfg = tiny_cfg()
+    sr = cfg.cast_for_cascade(
+        lowres_cond=True,
+        lowres_noise_cond=True,
+        channels=C,
+        channels_out=C,
+        cond_on_video_embeds=True,
+        cond_on_text_encodings=False,
+    )
+    assert sr.lowres_cond and sr.lowres_noise_cond
+    assert cfg.lowres_cond is False  # original untouched
+
+
+def test_unconditional():
+    cfg = tiny_cfg(cond_on_video_embeds=False, video_embed_dim=None)
+    _, out = init_and_run(cfg)
+    assert out.shape == (B, T, H, W, C)
+
+
+def test_jit_and_grad():
+    cfg = tiny_cfg(num_resnet_blocks=1)
+    model = UNet3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, C))
+    time = jnp.array([10, 20], jnp.int32)
+    emb = jnp.ones((B, cfg.video_embed_dim))
+    params = model.init(jax.random.PRNGKey(0), x, time, video_embed=emb)
+
+    @jax.jit
+    def loss_fn(p):
+        out = model.apply(p, x, time, video_embed=emb)
+        return jnp.mean(out**2)
+
+    g = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+    # gradient reaches the stem (deepest layer through all skips)
+    stem = g["params"]["init_conv"]["conv0"]["Conv_0"]["kernel"]
+    assert float(jnp.abs(stem).max()) >= 0.0
