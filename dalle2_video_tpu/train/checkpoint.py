@@ -26,14 +26,15 @@ _VERSION_KEY = "framework_version"
 def save_checkpoint(path: str, state: Any, *, step: Optional[int] = None, overwrite: bool = True) -> None:
     """Save a (possibly sharded) pytree train state + version stamp."""
     path = Path(path).absolute()
-    ckptr = ocp.StandardCheckpointer()
-    payload = {"state": state, _VERSION_KEY: __version__}
     if path.exists() and overwrite:
         import shutil
 
         shutil.rmtree(path)
-    ckptr.save(path, payload)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
     ckptr.wait_until_finished()
+    # orbax arrays-only: version stamp lives in a sidecar file
+    (path / _VERSION_KEY).write_text(__version__)
 
 
 def load_checkpoint(path: str, target: Any) -> Any:
@@ -41,12 +42,12 @@ def load_checkpoint(path: str, target: Any) -> Any:
     concrete state pytree). Warns on version mismatch (reference
     trainer.py:203-207)."""
     path = Path(path).absolute()
-    ckptr = ocp.StandardCheckpointer()
-    payload = ckptr.restore(path, {"state": target, _VERSION_KEY: __version__})
-    if payload[_VERSION_KEY] != __version__:
+    version_file = path / _VERSION_KEY
+    if version_file.exists() and version_file.read_text() != __version__:
         logger.warning(
             "loading checkpoint written by version %s; current version is %s",
-            payload[_VERSION_KEY],
+            version_file.read_text(),
             __version__,
         )
-    return payload["state"]
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target)

@@ -7,7 +7,9 @@ reserved for bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment bakes JAX_PLATFORMS=axon (TPU tunnel) into the env;
+# plain env vars don't override it, jax.config.update before backend init does.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,123 @@
+"""Video-CLIP stack tests: ViViT shapes/quirks, CLIP loss + sharded parity,
+retrieval metrics, text tower."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle2_video_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from dalle2_video_tpu.models.vivit import ViViT, ViViTConfig
+from dalle2_video_tpu.utils.contrastive import (
+    clip_loss,
+    retrieval_metrics,
+    sharded_clip_loss,
+)
+
+
+def test_vivit_output_shape():
+    cfg = ViViTConfig(
+        frame_size=16, patch_size=8, num_frames=25, dim=32, depth=1, heads=2,
+        dim_head=8, scale_dim_conv=5,
+    )
+    model = ViViT(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 25, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_vivit_frame_divisibility_assert():
+    with pytest.raises(AssertionError):
+        ViViTConfig(frame_size=16, patch_size=8, num_frames=24, scale_dim_conv=5)
+
+
+def test_vivit_time_sensitivity():
+    """Temporal transformer must make the embedding order-sensitive."""
+    cfg = ViViTConfig(
+        frame_size=16, patch_size=8, num_frames=25, dim=32, depth=1, heads=2,
+        dim_head=8,
+    )
+    model = ViViT(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 25, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    out1 = model.apply(params, x)
+    out2 = model.apply(params, x[:, ::-1])
+    assert float(jnp.abs(out1 - out2).max()) > 1e-4
+
+
+def test_clip_loss_matches_manual():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (6, 8))
+    # aligned pairs: loss with y=x should be much smaller than mismatched
+    temp = jnp.asarray(2.0)
+    aligned = float(clip_loss(x, x, temp))
+    mismatched = float(clip_loss(x, jnp.roll(x, 1, axis=0), temp))
+    assert aligned < 0.1 < mismatched
+
+
+def test_clip_loss_symmetric():
+    kx, ky = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (5, 12))
+    y = jax.random.normal(ky, (5, 12))
+    temp = jnp.asarray(1.0)
+    np.testing.assert_allclose(
+        float(clip_loss(x, y, temp)), float(clip_loss(y, x, temp)), rtol=1e-6
+    )
+
+
+def test_clip_loss_gradient_flows_to_temperature():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    y = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    g = jax.grad(lambda t: clip_loss(x, y, t))(jnp.asarray(5.0))
+    assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_sharded_clip_loss_matches_single_device(mesh8):
+    """Global-batch loss under shard_map == unsharded reference."""
+    kx, ky = jax.random.split(jax.random.PRNGKey(2))
+    b = 16  # 4 per data shard (mesh8 = 4x2)
+    x = jax.random.normal(kx, (b, 32))
+    y = x + jax.random.normal(ky, (b, 32))  # O(1) loss, not ~0
+    temp = jnp.asarray(1.5)
+    expected = float(clip_loss(x, y, temp))
+    got = float(jax.jit(lambda a, bb: sharded_clip_loss(a, bb, temp, mesh8))(x, y))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_retrieval_metrics_perfect_and_random():
+    x = jnp.eye(12, 16)
+    m = retrieval_metrics(x, x)
+    assert float(m["top1"]) == 1.0
+    assert float(m["top10"]) == 1.0
+    # orthogonal mismatch: diagonal not retrieved first
+    y = jnp.roll(x, 1, axis=0)
+    m2 = retrieval_metrics(x, y)
+    assert float(m2["top1"]) == 0.0
+
+
+def test_clip_text_encoder_shapes():
+    cfg = CLIPTextConfig(vocab_size=100, context_length=12, width=16, heads=2,
+                         layers=2, embed_dim=24)
+    enc = CLIPTextEncoder(cfg)
+    toks = jnp.array([[1, 5, 7, 99, 0, 0, 0, 0, 0, 0, 0, 0],
+                      [1, 8, 99, 0, 0, 0, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), toks)
+    emb, encodings = enc.apply(params, toks, return_encodings=True)
+    assert emb.shape == (2, 24)
+    assert encodings.shape == (2, 12, 16)
+
+
+def test_clip_text_encoder_causal():
+    """Changing a token AFTER the EOT/pool position must not change the
+    pooled embedding (causal masking)."""
+    cfg = CLIPTextConfig(vocab_size=100, context_length=8, width=16, heads=2,
+                         layers=1, embed_dim=16)
+    enc = CLIPTextEncoder(cfg)
+    toks1 = jnp.array([[1, 5, 99, 2, 0, 0, 0, 0]], jnp.int32)
+    toks2 = jnp.array([[1, 5, 99, 7, 0, 0, 0, 0]], jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), toks1)
+    e1 = enc.apply(params, toks1)
+    e2 = enc.apply(params, toks2)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)

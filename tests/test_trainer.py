@@ -1,0 +1,186 @@
+"""Trainer + EMA + sharded-step tests (SURVEY.md §4, item 4: multi-device
+via the 8-virtual-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+from dalle2_video_tpu.models import UNet3DConfig
+from dalle2_video_tpu.parallel import create_mesh, shard_batch
+from dalle2_video_tpu.parallel.sharded import make_sharded_train_step, shard_state
+from dalle2_video_tpu.train import (
+    DecoderTrainer,
+    DecoderTrainerConfig,
+    EMAConfig,
+    ema_init,
+    ema_update,
+)
+
+B, T, S, EMB = 4, 2, 8, 16
+
+
+def tiny_decoder(**kw):
+    u = UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=EMB,
+        init_cross_embed=False, init_conv_ksize=3,
+    )
+    base = dict(
+        unets=(u,), frame_sizes=(S,), frame_numbers=(T,),
+        timesteps=10, learned_variance=False,
+    )
+    base.update(kw)
+    return VideoDecoder(VideoDecoderConfig(**base))
+
+
+@pytest.fixture(scope="module")
+def trainer_and_state():
+    dec = tiny_decoder()
+    trainer = DecoderTrainer(
+        dec,
+        DecoderTrainerConfig(
+            lr=1e-3, warmup_steps=5, use_ema=True,
+            ema=EMAConfig(beta=0.99, update_after_step=2, update_every=1),
+        ),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    return trainer, state
+
+
+def batch(rng=1):
+    video = jax.random.uniform(jax.random.PRNGKey(rng), (B, T, S, S, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(rng + 100), (B, EMB))
+    return video, emb
+
+
+def test_train_step_updates_params_and_decreases_nothing_nan(trainer_and_state):
+    trainer, state = trainer_and_state
+    video, emb = batch()
+    state2, loss = trainer.train_step(
+        state, jax.random.PRNGKey(1), video, video_embed=emb
+    )
+    assert np.isfinite(float(loss))
+    assert int(state2.steps[0]) == 1
+    # NOTE: to_out is zero-init, so on step 1 only to_out (and wd-decayed
+    # kernels) can move — gradient reaches the rest from step 2 on.
+    state3, _ = trainer.train_step(
+        state2, jax.random.PRNGKey(2), video, video_embed=emb
+    )
+    before = jax.tree_util.tree_leaves(state.params["unet_0"])
+    after = jax.tree_util.tree_leaves(state3.params["unet_0"])
+    changed = sum(float(jnp.abs(a - b).max()) > 0 for a, b in zip(after, before))
+    assert changed > len(before) * 3 // 4
+
+
+def test_loss_decreases_over_steps(trainer_and_state):
+    trainer, state = trainer_and_state
+    video, emb = batch()
+    step = jax.jit(
+        lambda s, r: trainer.train_step(s, r, video, video_embed=emb)
+    )
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, loss = step(state, k)
+        losses.append(float(loss))
+    # fixed batch, small net: loss must trend down
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_grad_accum_matches_full_batch_direction():
+    dec = tiny_decoder()
+    tr_full = DecoderTrainer(dec, DecoderTrainerConfig(use_ema=False))
+    tr_acc = DecoderTrainer(dec, DecoderTrainerConfig(use_ema=False, grad_accum=2))
+    state = tr_full.init_state(jax.random.PRNGKey(0))
+    video, emb = batch()
+    _, loss_full = tr_full.train_step(state, jax.random.PRNGKey(5), video, video_embed=emb)
+    _, loss_acc = tr_acc.train_step(state, jax.random.PRNGKey(5), video, video_embed=emb)
+    assert np.isfinite(float(loss_full)) and np.isfinite(float(loss_acc))
+
+
+def test_ema_decay_spec():
+    cfg = EMAConfig(beta=0.9, update_after_step=3, update_every=1)
+    params = {"w": jnp.ones((4, 4))}
+    st = ema_init(params)
+    online = {"w": jnp.zeros((4, 4))}
+    # during warmup (step <= after_step+1): shadow copies online
+    for _ in range(4):
+        st = ema_update(st, online, cfg)
+    np.testing.assert_allclose(np.asarray(st.params["w"]), 0.0)
+    # after warmup: geometric blend toward online
+    online2 = {"w": jnp.ones((4, 4))}
+    st = ema_update(st, online2, cfg)
+    v = float(st.params["w"][0, 0])
+    assert 0.0 < v < 1.0
+
+
+def test_ema_update_every_gates():
+    cfg = EMAConfig(beta=0.9, update_after_step=0, update_every=10)
+    params = {"w": jnp.ones(())}
+    st = ema_init(params)
+    st = ema_update(st, {"w": jnp.zeros(())}, cfg)  # step 1: gated, no change
+    np.testing.assert_allclose(float(st.params["w"]), 1.0)
+
+
+def test_sampling_params_swaps_ema(trainer_and_state):
+    trainer, state = trainer_and_state
+    video, emb = batch()
+    # EMA copies online params during warmup (update_after_step=2);
+    # step past it so the shadow actually lags the online params
+    key = jax.random.PRNGKey(1)
+    step = jax.jit(lambda s, r: trainer.train_step(s, r, video, video_embed=emb))
+    for _ in range(6):
+        key, k = jax.random.split(key)
+        state, _ = step(state, k)
+    p_ema = trainer.sampling_params(state, use_ema=True)
+    p_online = trainer.sampling_params(state, use_ema=False)
+    l_ema = jax.tree_util.tree_leaves(p_ema["unet_0"])
+    l_on = jax.tree_util.tree_leaves(p_online["unet_0"])
+    assert any(float(jnp.abs(a - b).max()) > 0 for a, b in zip(l_ema, l_on))
+
+
+def test_lr_too_high_asserts():
+    dec = tiny_decoder()
+    with pytest.raises(AssertionError):
+        DecoderTrainer(dec, DecoderTrainerConfig(lr=0.1))
+
+
+def test_sharded_train_step_8dev(mesh8):
+    """DP train step on the virtual 8-device mesh: one step, finite loss,
+    same math as single-device."""
+    dec = tiny_decoder()
+    trainer = DecoderTrainer(dec, DecoderTrainerConfig(use_ema=False))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    video, emb = batch()
+    # batch 4 over data=4 mesh axis
+    sharded = make_sharded_train_step(trainer, mesh8, 1, zero1=True, donate_state=False)
+    st = shard_state(state, mesh8)
+    vid_s, emb_s = shard_batch(mesh8, (video, emb))
+    st2, loss = sharded(st, jax.random.PRNGKey(1), vid_s, emb_s)
+    assert np.isfinite(float(loss))
+    # single-device reference step with identical rng
+    st_ref, loss_ref = trainer.train_step(
+        state, jax.random.PRNGKey(1), video, video_embed=emb
+    )
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-4)
+    a = jax.tree_util.tree_leaves(st2.params["unet_0"])
+    b = jax.tree_util.tree_leaves(st_ref.params["unet_0"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer_and_state):
+    from dalle2_video_tpu.train import load_checkpoint, save_checkpoint
+
+    trainer, state = trainer_and_state
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, jax.tree_util.tree_map(lambda x: x, state))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
