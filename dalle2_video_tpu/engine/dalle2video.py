@@ -1,0 +1,70 @@
+"""DALLE2Video — end-to-end text -> video inference wrapper.
+
+Rebuild of reference ``DALLE2Video`` (/root/reference/dalle2_video/
+dalle2_video.py:2302-2370): prior.sample(text_embed) -> video_embed ->
+decoder.sample(video_embed, ...), including the ``temporal_emb`` mode that
+flattens a per-frame text-embed (b, d, t) through the prior and restores it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dalle2_video_tpu.engine.decoder import VideoDecoder
+from dalle2_video_tpu.models.prior import DiffusionPrior
+
+
+class DALLE2Video:
+    def __init__(
+        self,
+        prior: DiffusionPrior,
+        decoder: VideoDecoder,
+        temporal_emb: bool = False,
+        prior_num_samples: int = 2,
+    ):
+        self.prior = prior
+        self.decoder = decoder
+        self.temporal_emb = temporal_emb
+        self.prior_num_samples = prior_num_samples
+        self.decoder_need_text_cond = decoder.condition_on_text_encodings
+
+    def generate(
+        self,
+        prior_params: Any,
+        decoder_params: Dict[str, Any],
+        rng: jax.Array,
+        text_embed: jnp.ndarray,
+        text_encodings: Optional[jnp.ndarray] = None,
+        cond_scale: float = 1.0,
+        prior_cond_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        """text_embed (b, d) — or (b, d, t) in temporal_emb mode — -> video."""
+        k_prior, k_dec = jax.random.split(rng)
+
+        if self.temporal_emb:
+            b, d, t = text_embed.shape
+            flat = jnp.transpose(text_embed, (0, 2, 1)).reshape(b * t, d)
+        else:
+            flat = text_embed
+
+        video_embed = self.prior.sample(
+            prior_params, k_prior, flat,
+            num_samples_per_batch=self.prior_num_samples,
+            cond_scale=prior_cond_scale,
+        )
+
+        if self.temporal_emb:
+            video_embed = jnp.transpose(
+                video_embed.reshape(b, t, d), (0, 2, 1)
+            )
+
+        text_enc = text_encodings if self.decoder_need_text_cond else None
+        return self.decoder.sample(
+            decoder_params, k_dec,
+            video_embed=video_embed,
+            text_encodings=text_enc,
+            cond_scale=cond_scale,
+        )

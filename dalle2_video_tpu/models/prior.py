@@ -1,0 +1,338 @@
+"""Diffusion prior: text embedding -> video embedding.
+
+Rebuild of the inherited ``DiffusionPrior`` + ``DiffusionPriorNetwork``
+capability (dalle2-pytorch; reference usage dalle2_video.py:2313,2347-2351
+and the "prior" dataset stage, datasets.py:75-79). The reference repo ships
+no prior training script — this module provides the full capability:
+network, training loss, and best-of-N reranked sampling, plus a trainer
+entry point in scripts/train_prior.py.
+
+Network shape (dalle2-pytorch semantics): a causal transformer over the
+token sequence [text_encodings, text_embed, time_embed, noised_video_embed,
+learned_query]; the prediction is read from the final (learned-query)
+position. CFG via learned null embeddings and keep masks, exactly like the
+decoder. Best-of-N: sample N candidates per text, keep the one with the
+highest cosine similarity to the text embedding (DALL-E 2 paper recipe).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dalle2_video_tpu.diffusion import DiffusionSchedule
+from dalle2_video_tpu.models.layers import (
+    Attention,
+    ScaleOnlyLayerNorm,
+    SinusoidalPosEmb,
+    torch_kernel_init,
+)
+from dalle2_video_tpu.utils.contrastive import l2_normalize
+
+
+class _FF(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        y = ScaleOnlyLayerNorm(name="norm")(x)
+        y = nn.Dense(self.dim * self.mult, use_bias=False, kernel_init=torch_kernel_init)(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init)(y)
+        return x + y
+
+
+class CausalTransformer(nn.Module):
+    """Pre-norm causal transformer (dalle2-pytorch CausalTransformer shape)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth):
+            x = x + Attention(
+                self.dim, heads=self.heads, dim_head=self.dim_head,
+                causal=True, name=f"attn{i}",
+            )(x)
+            x = _FF(self.dim, name=f"ff{i}")(x)
+        return nn.LayerNorm(name="final_norm")(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorNetworkConfig:
+    dim: int = 512  # embed dim (= CLIP dim)
+    depth: int = 6
+    heads: int = 8
+    dim_head: int = 64
+    max_text_len: int = 77
+    cond_on_text_encodings: bool = False
+    text_encoding_dim: Optional[int] = None
+    self_cond: bool = False
+
+
+class DiffusionPriorNetwork(nn.Module):
+    cfg: PriorNetworkConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        video_embed_noisy: jnp.ndarray,  # (b, dim)
+        time: jnp.ndarray,  # (b,)
+        *,
+        text_embed: jnp.ndarray,  # (b, dim)
+        text_encodings: Optional[jnp.ndarray] = None,  # (b, n, enc_dim)
+        text_keep_mask: Optional[jnp.ndarray] = None,  # (b,) CFG keep
+        self_cond: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        b = video_embed_noisy.shape[0]
+        d = cfg.dim
+        if text_keep_mask is None:
+            text_keep_mask = jnp.ones((b,), bool)
+
+        # time token
+        t_emb = SinusoidalPosEmb(d, name="time_sinu")(time)
+        t_emb = nn.Dense(d, kernel_init=torch_kernel_init, name="time_proj")(t_emb)
+
+        # text embed token with CFG null
+        null_text = self.param("null_text_embed", nn.initializers.normal(1.0), (1, d))
+        te = jnp.where(text_keep_mask[:, None], text_embed, null_text)
+
+        tokens = []
+        if cfg.cond_on_text_encodings and text_encodings is not None:
+            enc_dim = cfg.text_encoding_dim or d
+            enc = nn.Dense(d, kernel_init=torch_kernel_init, name="enc_proj")(text_encodings)
+            enc = enc[:, : cfg.max_text_len]
+            enc_mask = jnp.any(text_encodings != 0.0, axis=-1)[:, : cfg.max_text_len]
+            keep = enc_mask & text_keep_mask[:, None]
+            null_enc = self.param(
+                "null_text_encodings", nn.initializers.normal(1.0),
+                (1, cfg.max_text_len, d),
+            )
+            enc = jnp.where(keep[:, :, None], enc, null_enc[:, : enc.shape[1]])
+            tokens.append(enc)
+
+        x_in = video_embed_noisy
+        if cfg.self_cond:
+            sc = self_cond if self_cond is not None else jnp.zeros_like(x_in)
+            x_in = nn.Dense(d, kernel_init=torch_kernel_init, name="self_cond_proj")(
+                jnp.concatenate([x_in, sc], axis=-1)
+            )
+
+        learned_query = self.param(
+            "learned_query", nn.initializers.normal(1.0), (1, d)
+        )
+        tokens.extend([
+            te[:, None, :],
+            t_emb[:, None, :],
+            x_in[:, None, :],
+            jnp.broadcast_to(learned_query, (b, d))[:, None, :],
+        ])
+        seq = jnp.concatenate(tokens, axis=1)
+        out = CausalTransformer(
+            d, cfg.depth, cfg.heads, cfg.dim_head, name="transformer"
+        )(seq)
+        return out[:, -1]  # prediction read from the learned-query position
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionPriorConfig:
+    network: PriorNetworkConfig = PriorNetworkConfig()
+    timesteps: int = 1000
+    sample_timesteps: Optional[int] = 64  # DDIM steps at sample time
+    beta_schedule: str = "cosine"
+    loss_type: str = "l2"
+    predict_x_start: bool = True  # DALL-E 2 prior predicts x0
+    text_cond_drop_prob: float = 0.1
+    video_embed_scale: Optional[float] = None  # image_embed_scale equivalent
+    sampling_clamp_l2norm: bool = False
+    training_clamp_l2norm: bool = False
+
+
+class DiffusionPrior:
+    """Engine: loss + ancestral/DDIM sampling + best-of-N reranking."""
+
+    def __init__(self, config: DiffusionPriorConfig):
+        self.config = config
+        self.network = DiffusionPriorNetwork(config.network)
+        self.schedule = DiffusionSchedule.create(
+            config.beta_schedule, config.timesteps, config.loss_type
+        )
+        # DALL-E 2 scales image embeds by sqrt(dim) during diffusion
+        self.embed_scale = (
+            config.video_embed_scale
+            if config.video_embed_scale is not None
+            else config.network.dim**0.5
+        )
+
+    def init_params(self, rng: jax.Array) -> Any:
+        d = self.config.network.dim
+        kwargs = {}
+        if self.config.network.cond_on_text_encodings:
+            kwargs["text_encodings"] = jnp.zeros(
+                (1, 4, self.config.network.text_encoding_dim or d)
+            )
+        return self.network.init(
+            rng,
+            jnp.zeros((1, d)),
+            jnp.zeros((1,), jnp.int32),
+            text_embed=jnp.zeros((1, d)),
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------------ #
+    def loss(
+        self,
+        params: Any,
+        rng: jax.Array,
+        video_embed: jnp.ndarray,
+        text_embed: jnp.ndarray,
+        text_encodings: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        sched = self.schedule
+        b = video_embed.shape[0]
+        k_t, k_n, k_drop, k_sc = jax.random.split(rng, 4)
+
+        x0 = video_embed * self.embed_scale
+        times = sched.sample_random_times(k_t, b)
+        noise = jax.random.normal(k_n, x0.shape)
+        x_noisy = sched.q_sample(x0, times, noise)
+        keep = jax.random.bernoulli(k_drop, 1.0 - cfg.text_cond_drop_prob, (b,))
+
+        self_cond = None
+        if cfg.network.self_cond:
+            def mk(_):
+                pred = self.network.apply(
+                    params, x_noisy, times,
+                    text_embed=text_embed, text_encodings=text_encodings,
+                    text_keep_mask=keep,
+                )
+                return jax.lax.stop_gradient(pred)
+
+            coin = jax.random.bernoulli(k_sc, 0.5)
+            self_cond = jax.lax.cond(coin, mk, lambda _: jnp.zeros_like(x0), None)
+
+        pred = self.network.apply(
+            params, x_noisy, times,
+            text_embed=text_embed, text_encodings=text_encodings,
+            text_keep_mask=keep, self_cond=self_cond,
+        )
+        if cfg.training_clamp_l2norm:
+            pred = l2_normalize(pred) * self.embed_scale
+
+        target = x0 if cfg.predict_x_start else noise
+        return jnp.mean(sched.loss_fn(pred, target))
+
+    # ------------------------------------------------------------------ #
+    def _pred_x0(self, params, x, t, cond_scale, text_embed, text_encodings, self_cond):
+        cfg = self.config
+        b = x.shape[0]
+
+        def fwd(keep):
+            return self.network.apply(
+                params, x if keep.shape[0] == b else jnp.concatenate([x, x]),
+                t if keep.shape[0] == b else jnp.concatenate([t, t]),
+                text_embed=text_embed if keep.shape[0] == b else jnp.concatenate([text_embed] * 2),
+                text_encodings=text_encodings if (text_encodings is None or keep.shape[0] == b)
+                else jnp.concatenate([text_encodings] * 2),
+                text_keep_mask=keep,
+                self_cond=self_cond if (self_cond is None or keep.shape[0] == b)
+                else jnp.concatenate([self_cond] * 2),
+            )
+
+        if cond_scale == 1.0:
+            pred = fwd(jnp.ones((b,), bool))
+        else:
+            keep = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((b,), bool)])
+            out2 = fwd(keep)
+            pred = out2[b:] + (out2[:b] - out2[b:]) * cond_scale
+
+        sched = self.schedule
+        if cfg.predict_x_start:
+            x0 = pred
+        else:
+            x0 = sched.predict_start_from_noise(x, t, pred)
+        if cfg.sampling_clamp_l2norm:
+            x0 = l2_normalize(x0) * self.embed_scale
+        return x0
+
+    def sample_loop(
+        self,
+        params: Any,
+        rng: jax.Array,
+        text_embed: jnp.ndarray,
+        text_encodings: Optional[jnp.ndarray] = None,
+        cond_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        """DDIM (sample_timesteps) or full ancestral loop in embed space."""
+        cfg = self.config
+        sched = self.schedule
+        b, d = text_embed.shape
+        k_init, k_loop = jax.random.split(rng)
+        x = jax.random.normal(k_init, (b, d))
+
+        steps = cfg.sample_timesteps or sched.num_timesteps
+        import numpy as np
+
+        times = np.linspace(-1, sched.num_timesteps - 1, steps + 1).astype(int)[::-1]
+        pairs = list(zip(times[:-1], times[1:]))
+        t_now = jnp.array([p[0] for p in pairs], jnp.int32)
+        t_next = jnp.array([p[1] for p in pairs], jnp.int32)
+        acp = jnp.concatenate([jnp.ones((1,)), sched.alphas_cumprod])  # acp[-1]=1 at idx 0
+
+        def step(carry, tp):
+            x, x0_prev, key = carry
+            tn, tnx = tp
+            key, kn = jax.random.split(key)
+            tvec = jnp.full((b,), tn, jnp.int32)
+            sc = x0_prev if cfg.network.self_cond else None
+            x0 = self._pred_x0(
+                params, x, tvec, cond_scale, text_embed, text_encodings, sc
+            )
+            eps = sched.predict_noise_from_start(x, tvec, x0)
+            a_next = acp[tnx + 1]
+            noise = jax.random.normal(kn, x.shape)
+            not_last = (tnx >= 0).astype(x.dtype)
+            # eta=0 DDIM step in embed space
+            x_next = x0 * jnp.sqrt(a_next) + jnp.sqrt(1.0 - a_next) * eps
+            return (x_next, x0, key), None
+
+        (x, _, _), _ = jax.lax.scan(
+            step, (x, jnp.zeros_like(x), k_loop), (t_now, t_next)
+        )
+        return x / self.embed_scale
+
+    def sample(
+        self,
+        params: Any,
+        rng: jax.Array,
+        text_embed: jnp.ndarray,
+        text_encodings: Optional[jnp.ndarray] = None,
+        num_samples_per_batch: int = 2,
+        cond_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        """Best-of-N sampling with cosine-similarity reranking against the
+        text embed (DiffusionPrior.sample semantics; reference usage
+        dalle2_video.py:2347-2351)."""
+        n = num_samples_per_batch
+        b, d = text_embed.shape
+        rep = jnp.repeat(text_embed, n, axis=0)
+        rep_enc = (
+            jnp.repeat(text_encodings, n, axis=0) if text_encodings is not None else None
+        )
+        embeds = self.sample_loop(params, rng, rep, rep_enc, cond_scale)
+        embeds = embeds.reshape(b, n, d)
+        text_n = l2_normalize(text_embed)
+        cand_n = l2_normalize(embeds, axis=-1)
+        sims = jnp.einsum("bd,bnd->bn", text_n, cand_n)
+        best = jnp.argmax(sims, axis=-1)
+        return jnp.take_along_axis(embeds, best[:, None, None], axis=1).squeeze(1)

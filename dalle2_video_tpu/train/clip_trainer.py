@@ -1,0 +1,146 @@
+"""Video-CLIP trainer: ViViT tower + frozen text tower + learned temperature.
+
+Rebuild of reference ``train_clip.py`` training internals (:80-199): frozen
+``clip.encode_text`` (here: CLIPTextEncoder params held constant), trainable
+ViViT, CLIPLoss with learned temperature (init 5.0, yaml:42), Adam with
+cosine or multistep LR schedule (yaml:33-38), top-1/top-10 retrieval
+metrics per epoch.
+
+TPU-first: one jitted train step (text embeds computed frozen inside the
+step; no_grad == stop_gradient), batch shardable on the data axis with the
+sharded global-batch contrastive loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dalle2_video_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from dalle2_video_tpu.models.vivit import ViViT, ViViTConfig
+from dalle2_video_tpu.utils.contrastive import clip_loss, retrieval_metrics
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipTrainerConfig:
+    lr: float = 1e-3
+    lr_scheduler: str = "multistep"  # "cosine" | "multistep" | "constant"
+    lr_multistep_milestones: Tuple[float, ...] = (0.4, 0.6, 0.8, 0.9)  # epoch fracs
+    lr_step_gamma: float = 0.5
+    total_steps: int = 10_000  # for cosine/multistep milestone resolution
+    init_temperature: float = 5.0
+    weight_decay: float = 0.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ClipTrainState:
+    vivit_params: Any
+    temperature: jnp.ndarray  # () learned log-scale
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class ClipTrainer:
+    def __init__(
+        self,
+        vivit_config: ViViTConfig,
+        text_config: CLIPTextConfig = CLIPTextConfig(),
+        cfg: ClipTrainerConfig = ClipTrainerConfig(),
+    ):
+        self.vivit = ViViT(vivit_config)
+        self.text_encoder = CLIPTextEncoder(text_config)
+        self.cfg = cfg
+
+        if cfg.lr_scheduler == "cosine":
+            sched = optax.cosine_decay_schedule(cfg.lr, cfg.total_steps)
+        elif cfg.lr_scheduler == "multistep":
+            boundaries = {
+                int(m * cfg.total_steps): cfg.lr_step_gamma
+                for m in cfg.lr_multistep_milestones
+            }
+            sched = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+        else:
+            sched = optax.constant_schedule(cfg.lr)
+        self.schedule = sched
+        tx = [optax.scale_by_adam()]
+        if cfg.weight_decay > 0:
+            tx.append(optax.add_decayed_weights(cfg.weight_decay))
+        tx.append(optax.scale_by_learning_rate(sched))
+        self.optimizer = optax.chain(*tx)
+
+    # ------------------------------------------------------------------ #
+    def init_state(
+        self, rng: jax.Array, sample_video: jnp.ndarray
+    ) -> ClipTrainState:
+        vp = self.vivit.init(rng, sample_video)
+        temp = jnp.asarray(self.cfg.init_temperature, jnp.float32)
+        trainable = {"vivit": vp, "temp": temp}
+        opt = self.optimizer.init(trainable)
+        return ClipTrainState(
+            vivit_params=vp, temperature=temp, opt_state=opt,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def init_text_params(self, rng: jax.Array, openai_ckpt: Optional[str] = None):
+        if openai_ckpt is not None:
+            from dalle2_video_tpu.models.clip_text import load_openai_clip_text_params
+
+            return load_openai_clip_text_params(openai_ckpt)
+        return self.text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))
+
+    # ------------------------------------------------------------------ #
+    def embed_text(self, text_params, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Frozen text-tower embedding (reference train_clip.py:133-135)."""
+        return jax.lax.stop_gradient(
+            self.text_encoder.apply(text_params, tokens)
+        )
+
+    def embed_video(self, state: ClipTrainState, videos: jnp.ndarray) -> jnp.ndarray:
+        return self.vivit.apply(state.vivit_params, videos)
+
+    def train_step(
+        self,
+        state: ClipTrainState,
+        text_params: Any,
+        videos: jnp.ndarray,
+        tokens: jnp.ndarray,
+    ) -> Tuple[ClipTrainState, Dict[str, jnp.ndarray]]:
+        text_embeds = self.embed_text(text_params, tokens)
+
+        def loss_fn(trainable):
+            video_embeds = self.vivit.apply(trainable["vivit"], videos)
+            loss = clip_loss(video_embeds, text_embeds, trainable["temp"])
+            return loss, video_embeds
+
+        trainable = {"vivit": state.vivit_params, "temp": state.temperature}
+        (loss, video_embeds), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable
+        )
+        updates, new_opt = self.optimizer.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        metrics = {"loss": loss, "temperature": new_trainable["temp"]}
+        metrics.update(retrieval_metrics(video_embeds, text_embeds))
+        return (
+            ClipTrainState(
+                vivit_params=new_trainable["vivit"],
+                temperature=new_trainable["temp"],
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    def eval_step(
+        self, state: ClipTrainState, text_params: Any, videos, tokens
+    ) -> Dict[str, jnp.ndarray]:
+        text_embeds = self.embed_text(text_params, tokens)
+        video_embeds = self.vivit.apply(state.vivit_params, videos)
+        loss = clip_loss(video_embeds, text_embeds, state.temperature)
+        metrics = {"loss": loss}
+        metrics.update(retrieval_metrics(video_embeds, text_embeds))
+        return metrics

@@ -1,0 +1,81 @@
+"""Dump full-dataset text + video embeddings — the handoff artifact to the
+prior/decoder stages (rebuild of reference ``eval_clip.py``:63-79).
+
+    python scripts/eval_clip.py [configs/celebv_text.yaml] [key=value ...]
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset
+    from dalle2_video_tpu.models.vivit import ViViTConfig
+    from dalle2_video_tpu.train.checkpoint import load_checkpoint
+    from dalle2_video_tpu.train.clip_trainer import ClipTrainer
+    from dalle2_video_tpu.utils import config_from_argv
+
+    cfg = config_from_argv("configs/celebv_text.yaml")
+    logging.basicConfig(level=cfg.get("log_level", "INFO"))
+    from dalle2_video_tpu.utils.config import setup_platform
+
+    setup_platform(cfg)
+    log = logging.getLogger("eval_clip")
+
+    ds = CelebVTextDataset(
+        texts_path=cfg["texts"]["tokenized"],
+        videos_path=cfg["videos"]["preprocessed"],
+    )
+    loader = BatchLoader(ds, cfg["clip"]["batch_size"], shuffle=False)
+
+    ve = cfg["video_encoder"]
+    vivit_cfg = ViViTConfig(
+        frame_size=ve["frame_size"], patch_size=ve["patch_size"],
+        num_frames=ve["num_frames"], dim=ve["dim"], depth=ve["depth"],
+        heads=ve["heads"], dim_head=ve["dim_head"],
+    )
+    trainer = ClipTrainer(vivit_cfg)
+    rng = jax.random.PRNGKey(cfg["seed"])
+
+    sample = next(iter(BatchLoader(ds, 1, shuffle=False)))
+    state = trainer.init_state(rng, jnp.asarray(sample["videos"]))
+    ckpt = Path(cfg["run_dir"]) / f"clip_{cfg['train_name']}" / "best"
+    if ckpt.exists():
+        state = load_checkpoint(str(ckpt), state)
+        log.info("loaded %s", ckpt)
+    else:
+        log.warning("no checkpoint at %s — using random encoder", ckpt)
+    text_params = trainer.init_text_params(rng, cfg["clip"].get("openai_ckpt"))
+
+    embed_v = jax.jit(trainer.embed_video)
+    embed_t = jax.jit(lambda tp, toks: trainer.embed_text(tp, toks))
+
+    v_out, t_out = [], []
+    for batch in loader:
+        v_out.append(np.asarray(embed_v(state, jnp.asarray(batch["videos"]))))
+        t_out.append(np.asarray(embed_t(text_params, jnp.asarray(batch["texts"]))))
+
+    video_embeds = np.concatenate(v_out)
+    text_embeds = np.concatenate(t_out)
+    Path(cfg["videos"]["embed"]).parent.mkdir(parents=True, exist_ok=True)
+    Path(cfg["texts"]["embed"]).parent.mkdir(parents=True, exist_ok=True)
+    np.save(cfg["videos"]["embed"], video_embeds)
+    np.save(cfg["texts"]["embed"], text_embeds)
+    log.info(
+        "wrote %s %s and %s %s",
+        cfg["videos"]["embed"], video_embeds.shape,
+        cfg["texts"]["embed"], text_embeds.shape,
+    )
+
+
+if __name__ == "__main__":
+    main()

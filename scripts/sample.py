@@ -1,0 +1,96 @@
+"""End-to-end text -> video sampling (DALLE2Video.forward equivalent).
+
+Given trained prior + decoder checkpoints, tokenizes prompts, embeds text
+(frozen tower), samples a video embedding through the prior (best-of-N
+reranked), and runs the decoder cascade. Usage:
+
+    python scripts/sample.py configs/celebv_text.yaml \
+        prompt="a person smiling" cond_scale=3.0 out=samples.npy
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from dalle2_video_tpu.data.tokenizer import tokenize
+    from dalle2_video_tpu.engine.dalle2video import DALLE2Video
+    from dalle2_video_tpu.models.clip_text import CLIPTextEncoder
+    from dalle2_video_tpu.models.prior import (
+        DiffusionPrior,
+        DiffusionPriorConfig,
+        PriorNetworkConfig,
+    )
+    from dalle2_video_tpu.train.checkpoint import load_checkpoint
+    from dalle2_video_tpu.utils import config_from_argv
+    from scripts.train_decoder import build_decoder, build_trainer
+
+    cfg = config_from_argv("configs/celebv_text.yaml")
+    logging.basicConfig(level=cfg.get("log_level", "INFO"))
+    from dalle2_video_tpu.utils.config import setup_platform
+
+    setup_platform(cfg)
+    log = logging.getLogger("sample")
+
+    prompt = cfg.get("prompt", "a person talking")
+    cond_scale = float(cfg.get("cond_scale", 1.0))
+    out_path = cfg.get("out", "samples.npy")
+    rng = jax.random.PRNGKey(int(cfg.get("sample_seed", 0)))
+
+    # text embedding (frozen tower)
+    tokens = jnp.asarray(tokenize([prompt]))
+    text_enc = CLIPTextEncoder()
+    k_text, k_gen = jax.random.split(rng)
+    openai = cfg["clip"].get("openai_ckpt")
+    if openai:
+        from dalle2_video_tpu.models.clip_text import load_openai_clip_text_params
+
+        text_params = load_openai_clip_text_params(openai)
+    else:
+        log.warning("no OpenAI ckpt — random text tower (smoke mode)")
+        text_params = text_enc.init(k_text, tokens)
+    text_embed = text_enc.apply(text_params, tokens)
+
+    pc = cfg["prior"]
+    prior = DiffusionPrior(
+        DiffusionPriorConfig(
+            network=PriorNetworkConfig(dim=cfg["dim"], depth=pc["depth"],
+                                       heads=pc["heads"], dim_head=pc["dim_head"]),
+            timesteps=pc["timesteps"],
+            sample_timesteps=pc["sample_timesteps"],
+        )
+    )
+    prior_params = prior.init_params(k_gen)
+    prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}" / "best"
+    if prior_ckpt.exists():
+        prior_params = load_checkpoint(str(prior_ckpt), prior_params)
+        log.info("loaded prior %s", prior_ckpt)
+
+    decoder = build_decoder(cfg)
+    trainer = build_trainer(cfg, decoder)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    dec_ckpt = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}" / "best"
+    if dec_ckpt.exists():
+        state = load_checkpoint(str(dec_ckpt), state)
+        log.info("loaded decoder %s", dec_ckpt)
+    dec_params = trainer.sampling_params(state)
+
+    wrapper = DALLE2Video(prior, decoder)
+    video = wrapper.generate(
+        prior_params, dec_params, k_gen, text_embed, cond_scale=cond_scale
+    )
+    np.save(out_path, np.asarray(video))
+    log.info("wrote %s %s", out_path, video.shape)
+
+
+if __name__ == "__main__":
+    main()

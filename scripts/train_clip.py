@@ -1,0 +1,109 @@
+"""Stage-1 entry point: train the video-CLIP (ViViT) tower.
+
+Rebuild of reference ``train_clip.py``: seeded 80/20 split shared across
+stages, frozen text tower, ViViT + CLIPLoss + retrieval metrics, best/last
+checkpoints. Usage:
+
+    python scripts/train_clip.py [configs/celebv_text.yaml] [key=value ...]
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset, split_indices
+    from dalle2_video_tpu.models.vivit import ViViTConfig
+    from dalle2_video_tpu.train.checkpoint import save_checkpoint
+    from dalle2_video_tpu.train.clip_trainer import ClipTrainer, ClipTrainerConfig
+    from dalle2_video_tpu.utils import MetricsLogger, config_from_argv
+
+    cfg = config_from_argv("configs/celebv_text.yaml")
+    logging.basicConfig(level=cfg.get("log_level", "INFO"))
+    from dalle2_video_tpu.utils.config import setup_platform
+
+    setup_platform(cfg)
+    log = logging.getLogger("train_clip")
+
+    ds = CelebVTextDataset(
+        texts_path=cfg["texts"]["tokenized"],
+        videos_path=cfg["videos"]["preprocessed"],
+    )
+    splits = split_indices(len(ds), cfg["train_ratio"], cfg["seed"])
+    bs = cfg["clip"]["batch_size"]
+    train_loader = BatchLoader(ds, bs, splits["train"], shuffle=True, seed=cfg["seed"])
+    val_loader = BatchLoader(ds, bs, splits["val"], shuffle=False)
+
+    ve = cfg["video_encoder"]
+    vivit_cfg = ViViTConfig(
+        frame_size=ve["frame_size"], patch_size=ve["patch_size"],
+        num_frames=ve["num_frames"], dim=ve["dim"], depth=ve["depth"],
+        heads=ve["heads"], dim_head=ve["dim_head"],
+    )
+    epochs = cfg["clip"]["epochs"]
+    trainer = ClipTrainer(
+        vivit_cfg,
+        cfg=ClipTrainerConfig(
+            lr=cfg["clip"]["lr"],
+            lr_scheduler=cfg["clip"]["lr_scheduler"],
+            lr_multistep_milestones=tuple(cfg["clip"]["lr_multistep_milestones"]),
+            lr_step_gamma=cfg["clip"]["lr_step_gamma"],
+            total_steps=max(1, len(train_loader)) * epochs,
+            init_temperature=cfg["clip"]["init_temperature"],
+        ),
+    )
+
+    rng = jax.random.PRNGKey(cfg["seed"])
+    sample = next(iter(train_loader))
+    videos0 = jnp.asarray(sample["videos"])
+    state = trainer.init_state(rng, videos0[:1])
+    text_params = trainer.init_text_params(rng, cfg["clip"].get("openai_ckpt"))
+    if cfg["clip"].get("openai_ckpt") is None:
+        log.warning("no OpenAI CLIP ckpt given — text tower is randomly initialized")
+
+    train_step = jax.jit(trainer.train_step)
+    eval_step = jax.jit(trainer.eval_step)
+
+    mlog = MetricsLogger(cfg["run_dir"], f"clip_{cfg['train_name']}",
+                         cfg["use_wandb"], cfg)
+    ckpt_dir = Path(cfg["run_dir"]) / f"clip_{cfg['train_name']}"
+    best_loss = float("inf")
+
+    for epoch in range(epochs):
+        for batch in train_loader:
+            state, metrics = train_step(
+                state, text_params,
+                jnp.asarray(batch["videos"]), jnp.asarray(batch["texts"]),
+            )
+        mlog.log({f"train/{k}": v for k, v in metrics.items()},
+                 step=int(state.step))
+
+        val_metrics = []
+        for batch in val_loader:
+            m = eval_step(state, text_params,
+                          jnp.asarray(batch["videos"]), jnp.asarray(batch["texts"]))
+            val_metrics.append({k: float(v) for k, v in m.items()})
+        if val_metrics:
+            agg = {f"val/{k}": float(np.mean([m[k] for m in val_metrics]))
+                   for k in val_metrics[0]}
+            mlog.log(agg, step=int(state.step))
+            save_checkpoint(str(ckpt_dir / "last"), state)
+            if agg["val/loss"] < best_loss:
+                best_loss = agg["val/loss"]
+                save_checkpoint(str(ckpt_dir / "best"), state)
+        log.info("epoch %d done", epoch)
+
+    mlog.close()
+
+
+if __name__ == "__main__":
+    main()

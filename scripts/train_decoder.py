@@ -1,0 +1,189 @@
+"""Stage-3 entry point: train the cascaded video decoder.
+
+Rebuild of reference ``train_decoder.py``: two-unet cascade (base 64px +
+spatial SR 128px), both unets trained each batch, val pass, best/last
+checkpoints — with GSPMD data-parallel sharding instead of
+accelerate/DeepSpeed. Usage:
+
+    python scripts/train_decoder.py [configs/celebv_text.yaml] [key=value ...]
+    python scripts/train_decoder.py smoke=true        # synthetic-data smoke run
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_decoder(cfg):
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+
+    def unet_cfg(section):
+        return UNet3DConfig(
+            dim=section["dim"],
+            dim_mults=tuple(section["dim_mults"]),
+            num_resnet_blocks=section.get("num_resnet_blocks", 2),
+            attn_heads=section.get("attn_heads", 16),
+            attn_dim_head=section.get("attn_dim_head", 32),
+            video_embed_dim=cfg["dim"],
+            channels=cfg["channels"],
+        )
+
+    return VideoDecoder(
+        VideoDecoderConfig(
+            unets=(unet_cfg(cfg["unet1"]), unet_cfg(cfg["unet2"])),
+            frame_sizes=tuple(cfg["frame_sizes"]),
+            frame_numbers=tuple(cfg["frame_numbers"]),
+            channels=cfg["channels"],
+            timesteps=cfg["timesteps"],
+            sample_timesteps=cfg.get("sample_timesteps"),
+            learned_variance=cfg.get("learned_variance", False),
+        )
+    )
+
+
+def build_trainer(cfg, decoder):
+    from dalle2_video_tpu.train import DecoderTrainer, DecoderTrainerConfig, EMAConfig
+
+    tc = cfg["decoder_trainer"]
+    return DecoderTrainer(
+        decoder,
+        DecoderTrainerConfig(
+            lr=tc["lr"],
+            wd=tc["wd"],
+            use_ema=tc["use_ema"],
+            ema=EMAConfig(
+                beta=tc["ema_beta"],
+                update_after_step=tc["ema_update_after_step"],
+                update_every=tc["ema_update_every"],
+            ),
+            max_grad_norm=tc["max_grad_norm"],
+            bf16_compute=cfg["decoder"].get("bf16_compute", True),
+            grad_accum=tc.get("grad_accum", 1),
+        ),
+    )
+
+
+def main() -> None:
+    from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset, split_indices
+    from dalle2_video_tpu.parallel import create_mesh, shard_batch
+    from dalle2_video_tpu.parallel.sharded import make_sharded_train_step, shard_state
+    from dalle2_video_tpu.train.checkpoint import save_checkpoint
+    from dalle2_video_tpu.utils import MetricsLogger, config_from_argv
+
+    cfg = config_from_argv("configs/celebv_text.yaml")
+    logging.basicConfig(level=cfg.get("log_level", "INFO"))
+    from dalle2_video_tpu.utils.config import setup_platform
+
+    setup_platform(cfg)
+    log = logging.getLogger("train_decoder")
+
+    smoke = bool(cfg.get("smoke", False))
+    n_dev = len(jax.devices())
+    # batch must divide the data mesh axis
+    bs = n_dev if smoke else cfg["decoder"]["batch_size"]
+    epochs = 1 if smoke else cfg["decoder"]["epochs"]
+
+    if smoke:
+        # synthetic embeddings + videos (SURVEY.md §7.5: synthetic first)
+        cfg["frame_sizes"] = [16, 32]
+        cfg["frame_numbers"] = [2, 2]
+        cfg["unet1"] = {"dim": 16, "dim_mults": [1, 2], "num_resnet_blocks": 1,
+                        "attn_heads": 2, "attn_dim_head": 8}
+        cfg["unet2"] = {"dim": 8, "dim_mults": [1, 2], "num_resnet_blocks": 1,
+                        "attn_heads": 2, "attn_dim_head": 8}
+        n = 2 * bs
+        rng = np.random.RandomState(0)
+        videos = rng.rand(n, 2, 32, 32, 3).astype(np.float32)
+        embeds = rng.randn(n, cfg["dim"]).astype(np.float32)
+
+        class _SynthDS:
+            def __len__(self):
+                return n
+
+            def batch_items(self, idx):
+                return {"videos": videos[idx], "video_embeds": embeds[idx]}
+
+        ds = _SynthDS()
+        splits = {"train": np.arange(bs), "val": np.arange(bs, 2 * bs)}
+    else:
+        ds = CelebVTextDataset(
+            video_embeds_path=cfg["videos"]["embed"],
+            videos_path=cfg["videos"]["preprocessed"],
+        )
+        splits = split_indices(len(ds), cfg["train_ratio"], cfg["seed"])
+
+    train_loader = BatchLoader(ds, bs, splits["train"], shuffle=True, seed=cfg["seed"])
+    val_loader = BatchLoader(ds, bs, splits["val"], shuffle=False)
+
+    decoder = build_decoder(cfg)
+    trainer = build_trainer(cfg, decoder)
+
+    mesh_cfg = cfg.get("mesh", {})
+    model_ax = mesh_cfg.get("model", 1)
+    n_dev = len(jax.devices())
+    mesh = create_mesh(data=n_dev // model_ax, model=model_ax)
+    log.info("mesh: %s over %d devices", dict(mesh.shape), n_dev)
+
+    rng = jax.random.PRNGKey(cfg["seed"])
+    state = shard_state(trainer.init_state(rng), mesh)
+    steps = {
+        u: make_sharded_train_step(trainer, mesh, u, donate_state=False)
+        for u in (1, 2)
+    }
+    eval_losses = {
+        u: jax.jit(lambda s, r, v, e, u=u: trainer.eval_loss(
+            s, r, v, video_embed=e, unet_number=u))
+        for u in (1, 2)
+    }
+
+    mlog = MetricsLogger(cfg["run_dir"], f"decoder_{cfg['train_name']}",
+                         cfg["use_wandb"], cfg)
+    ckpt_dir = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}"
+    best_val = float("inf")
+    key = rng
+
+    for epoch in range(epochs):
+        for batch in train_loader:
+            vid, emb = shard_batch(
+                mesh, (jnp.asarray(batch["videos"]), jnp.asarray(batch["video_embeds"]))
+            )
+            losses = {}
+            # both unets trained each batch (reference train_decoder.py:127-138)
+            for u in (1, 2):
+                key, k = jax.random.split(key)
+                state, losses[f"train/loss_unet{u}"] = steps[u](state, k, vid, emb)
+        mlog.log({k: float(v) for k, v in losses.items()},
+                 step=int(state.steps[0]))
+
+        val_sums = {1: [], 2: []}
+        for batch in val_loader:
+            vid = jnp.asarray(batch["videos"])
+            emb = jnp.asarray(batch["video_embeds"])
+            for u in (1, 2):
+                key, k = jax.random.split(key)
+                val_sums[u].append(float(eval_losses[u](state, k, vid, emb)))
+        if val_sums[1]:
+            v1, v2 = np.mean(val_sums[1]), np.mean(val_sums[2])
+            mlog.log({"val/loss_unet1": v1, "val/loss_unet2": v2},
+                     step=int(state.steps[0]))
+            save_checkpoint(str(ckpt_dir / "last"), state)
+            if v1 + v2 < best_val:
+                best_val = v1 + v2
+                save_checkpoint(str(ckpt_dir / "best"), state)
+        log.info("epoch %d done", epoch)
+
+    mlog.close()
+    log.info("training complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Stage-2 entry point: train the diffusion prior (text-embed -> video-embed).
+
+NEW capability: the reference repo has the dataset mode and inference hook
+for the prior (datasets.py:75-79, dalle2_video.py:2347) but no training
+script. Usage:
+
+    python scripts/train_prior.py [configs/celebv_text.yaml] [key=value ...]
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main() -> None:
+    from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset, split_indices
+    from dalle2_video_tpu.models.prior import (
+        DiffusionPrior,
+        DiffusionPriorConfig,
+        PriorNetworkConfig,
+    )
+    from dalle2_video_tpu.train.checkpoint import save_checkpoint
+    from dalle2_video_tpu.utils import MetricsLogger, config_from_argv
+
+    cfg = config_from_argv("configs/celebv_text.yaml")
+    logging.basicConfig(level=cfg.get("log_level", "INFO"))
+    from dalle2_video_tpu.utils.config import setup_platform
+
+    setup_platform(cfg)
+    log = logging.getLogger("train_prior")
+
+    ds = CelebVTextDataset(
+        text_embeds_path=cfg["texts"]["embed"],
+        video_embeds_path=cfg["videos"]["embed"],
+    )
+    splits = split_indices(len(ds), cfg["train_ratio"], cfg["seed"])
+    pc = cfg["prior"]
+    train_loader = BatchLoader(ds, pc["batch_size"], splits["train"], shuffle=True,
+                               seed=cfg["seed"])
+    val_loader = BatchLoader(ds, pc["batch_size"], splits["val"], shuffle=False)
+
+    prior = DiffusionPrior(
+        DiffusionPriorConfig(
+            network=PriorNetworkConfig(
+                dim=cfg["dim"], depth=pc["depth"], heads=pc["heads"],
+                dim_head=pc["dim_head"],
+            ),
+            timesteps=pc["timesteps"],
+            sample_timesteps=pc["sample_timesteps"],
+        )
+    )
+    rng = jax.random.PRNGKey(cfg["seed"])
+    params = prior.init_params(rng)
+    optimizer = optax.adam(pc["lr"])
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key, ve, te):
+        loss, grads = jax.value_and_grad(
+            lambda p: prior.loss(p, key, ve, te)
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    eval_loss = jax.jit(lambda p, key, ve, te: prior.loss(p, key, ve, te))
+
+    mlog = MetricsLogger(cfg["run_dir"], f"prior_{cfg['train_name']}",
+                         cfg["use_wandb"], cfg)
+    ckpt_dir = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"
+    best = float("inf")
+    key = rng
+    gstep = 0
+
+    for epoch in range(pc["epochs"]):
+        for batch in train_loader:
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(
+                params, opt_state, k,
+                jnp.asarray(batch["video_embeds"]), jnp.asarray(batch["text_embeds"]),
+            )
+            gstep += 1
+        mlog.log({"train/loss": float(loss)}, step=gstep)
+
+        vals = []
+        for batch in val_loader:
+            key, k = jax.random.split(key)
+            vals.append(float(eval_loss(
+                params, k,
+                jnp.asarray(batch["video_embeds"]), jnp.asarray(batch["text_embeds"]),
+            )))
+        if vals:
+            v = float(np.mean(vals))
+            mlog.log({"val/loss": v}, step=gstep)
+            save_checkpoint(str(ckpt_dir / "last"), params)
+            if v < best:
+                best = v
+                save_checkpoint(str(ckpt_dir / "best"), params)
+        log.info("epoch %d done", epoch)
+
+    mlog.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Diffusion prior + DALLE2Video end-to-end tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle2_video_tpu.models.prior import (
+    DiffusionPrior,
+    DiffusionPriorConfig,
+    PriorNetworkConfig,
+)
+
+D = 16
+
+
+@pytest.fixture(scope="module")
+def prior():
+    cfg = DiffusionPriorConfig(
+        network=PriorNetworkConfig(dim=D, depth=2, heads=2, dim_head=8),
+        timesteps=20,
+        sample_timesteps=5,
+    )
+    p = DiffusionPrior(cfg)
+    params = p.init_params(jax.random.PRNGKey(0))
+    return p, params
+
+
+def test_prior_loss(prior):
+    p, params = prior
+    ve = jax.random.normal(jax.random.PRNGKey(1), (4, D))
+    te = jax.random.normal(jax.random.PRNGKey(2), (4, D))
+    loss = p.loss(params, jax.random.PRNGKey(3), ve, te)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda pp: p.loss(pp, jax.random.PRNGKey(3), ve, te))(params)
+    assert all(
+        np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_prior_sample_shapes_and_rerank(prior):
+    p, params = prior
+    te = jax.random.normal(jax.random.PRNGKey(2), (3, D))
+    out = p.sample(params, jax.random.PRNGKey(4), te, num_samples_per_batch=2,
+                   cond_scale=2.0)
+    assert out.shape == (3, D)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_prior_best_of_n_picks_highest_similarity(prior):
+    """With N candidates, the reranker must return the argmax-similarity one."""
+    p, params = prior
+    te = jax.random.normal(jax.random.PRNGKey(5), (2, D))
+    n = 4
+    rep = jnp.repeat(te, n, axis=0)
+    embeds = p.sample_loop(params, jax.random.PRNGKey(6), rep).reshape(2, n, D)
+    from dalle2_video_tpu.utils.contrastive import l2_normalize
+
+    sims = jnp.einsum("bd,bnd->bn", l2_normalize(te), l2_normalize(embeds, axis=-1))
+    # same rng path through .sample
+    out = p.sample(params, jax.random.PRNGKey(6), te, num_samples_per_batch=n)
+    expected = jnp.take_along_axis(
+        embeds, jnp.argmax(sims, axis=-1)[:, None, None], axis=1
+    ).squeeze(1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_prior_self_cond_and_text_encodings():
+    cfg = DiffusionPriorConfig(
+        network=PriorNetworkConfig(
+            dim=D, depth=1, heads=2, dim_head=8,
+            cond_on_text_encodings=True, text_encoding_dim=12, self_cond=True,
+            max_text_len=6,
+        ),
+        timesteps=10,
+        sample_timesteps=3,
+    )
+    p = DiffusionPrior(cfg)
+    params = p.init_params(jax.random.PRNGKey(0))
+    ve = jax.random.normal(jax.random.PRNGKey(1), (2, D))
+    te = jax.random.normal(jax.random.PRNGKey(2), (2, D))
+    enc = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 12))
+    loss = p.loss(params, jax.random.PRNGKey(4), ve, te, text_encodings=enc)
+    assert np.isfinite(float(loss))
+    out = p.sample(params, jax.random.PRNGKey(5), te, text_encodings=enc)
+    assert out.shape == (2, D)
+
+
+def test_dalle2video_end_to_end(prior):
+    from dalle2_video_tpu.engine.dalle2video import DALLE2Video
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+
+    p, prior_params = prior
+    u = UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=D,
+        init_cross_embed=False, init_conv_ksize=3,
+    )
+    dec = VideoDecoder(
+        VideoDecoderConfig(
+            unets=(u,), frame_sizes=(8,), frame_numbers=(2,),
+            timesteps=10, learned_variance=False,
+        )
+    )
+    dec_params = dec.init_params(jax.random.PRNGKey(0))
+    wrapper = DALLE2Video(p, dec)
+    te = jax.random.normal(jax.random.PRNGKey(1), (2, D))
+    vid = wrapper.generate(
+        prior_params, dec_params, jax.random.PRNGKey(2), te, cond_scale=1.5
+    )
+    assert vid.shape == (2, 2, 8, 8, 3)
+    assert np.all(np.isfinite(np.asarray(vid)))
