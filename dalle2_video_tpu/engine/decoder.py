@@ -106,6 +106,10 @@ class VideoDecoderConfig:
     lowres_noise_sample_level: float = 0.2
     clip_denoised: bool = True
     random_crop_sizes: Union[None, int, Tuple[Optional[int], ...]] = None
+    # route the sampling path's joint attention through the Pallas flash MQA
+    # kernel (ops/pallas/flash_mqa.py); training keeps the XLA attention
+    # (needs autodiff)
+    flash_attention_sampling: bool = False
 
     @property
     def num_unets(self) -> int:
@@ -186,7 +190,24 @@ class VideoDecoder:
                 )
             )
         self.unet_configs = tuple(unet_cfgs)
-        self.unets = tuple(UNet3D(c) for c in self.unet_configs)
+
+        def build_unet(c: UNet3DConfig):
+            if c.arch == "temporal_conv":
+                from dalle2_video_tpu.models.unet_temporal import UnetTemporalConv
+
+                return UnetTemporalConv(c)
+            return UNet3D(c)
+
+        self.unets = tuple(build_unet(c) for c in self.unet_configs)
+        # sampling-path unets share params with self.unets (identical module
+        # structure/names), only the attention impl differs
+        if cfg.flash_attention_sampling:
+            self.sample_unets = tuple(
+                build_unet(dataclasses.replace(c, attention_impl="flash"))
+                for c in self.unet_configs
+            )
+        else:
+            self.sample_unets = self.unets
 
         # lowres conditioner configs per SR stage (reference :1436-1460)
         self.lowres_configs: Tuple[Optional[LowresConditionerConfig], ...] = tuple(
@@ -289,7 +310,7 @@ class VideoDecoder:
     ) -> jnp.ndarray:
         """forward_with_cond_scale as ONE batched forward (reference :683-692
         runs the unet twice). cond_scale is static."""
-        unet = self.unets[unet_index]
+        unet = self.sample_unets[unet_index]
         kwargs = dict(
             video_embed=video_embed,
             text_encodings=text_encodings,

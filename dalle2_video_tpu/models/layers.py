@@ -171,6 +171,7 @@ class Attention(nn.Module):
     causal: bool = False
     cosine_sim: bool = False
     cosine_sim_scale: float = 16.0
+    impl: str = "xla"  # "xla" | "flash" (Pallas streaming kernel, fwd-only)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -194,17 +195,22 @@ class Attention(nn.Module):
         else:
             scale = d**-0.5
 
-        sim = jnp.einsum("bnhd,bmd->bhnm", q * scale, k)
-        if mask is not None:
-            m = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
-            sim = jnp.where(m[:, None, None, :], sim, jnp.finfo(sim.dtype).min)
-        if self.causal:
-            i = jnp.arange(n)[:, None]
-            j = jnp.arange(n + 1)[None, :]
-            causal_mask = j <= i + 1  # +1: null kv always visible
-            sim = jnp.where(causal_mask[None, None], sim, jnp.finfo(sim.dtype).min)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhnm,bmd->bnhd", attn, v).reshape(b, n, inner)
+        if self.impl == "flash" and mask is None and not self.causal:
+            from dalle2_video_tpu.ops.pallas.flash_mqa import mqa_attention
+
+            out = mqa_attention(q, k, v, sm_scale=scale).reshape(b, n, inner)
+        else:
+            sim = jnp.einsum("bnhd,bmd->bhnm", q * scale, k)
+            if mask is not None:
+                m = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+                sim = jnp.where(m[:, None, None, :], sim, jnp.finfo(sim.dtype).min)
+            if self.causal:
+                i = jnp.arange(n)[:, None]
+                j = jnp.arange(n + 1)[None, :]
+                causal_mask = j <= i + 1  # +1: null kv always visible
+                sim = jnp.where(causal_mask[None, None], sim, jnp.finfo(sim.dtype).min)
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhnm,bmd->bnhd", attn, v).reshape(b, n, inner)
         out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, name="to_out")(out)
         return ScaleOnlyLayerNorm(name="out_norm")(out)
 
@@ -219,16 +225,22 @@ class JointSpaceTimeAttention(nn.Module):
     heads: int = 16
     dim_head: int = 32
     cosine_sim: bool = False
+    joint_time: bool = True  # False: per-frame (spatial-only) attention
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         b, t, h, w, c = x.shape
-        tokens = x.reshape(b, t * h * w, c)
+        if self.joint_time:
+            tokens = x.reshape(b, t * h * w, c)
+        else:
+            tokens = x.reshape(b * t, h * w, c)
         out = Attention(
             self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
             cosine_sim=self.cosine_sim,
+            impl=self.impl,
             name="attn",
         )(tokens)
         return x + out.reshape(b, t, h, w, c)
@@ -308,15 +320,16 @@ class ResnetBlock3D(nn.Module):
 
 
 class Downsample3D(nn.Module):
-    """Pixel-unshuffle (2x space) + 1x1 conv — 'SP-conv' downsample
-    (reference dalle2_video.py:19-26)."""
+    """'SP-conv' downsample (reference dalle2_video.py:19-26: pixel-unshuffle
+    + 1x1 conv). Implemented as the mathematically identical 2x2 stride-2
+    conv — each output pixel is the same linear map of its 2x2 input patch —
+    which avoids the space-to-depth reshapes GSPMD partitions poorly."""
 
     dim_out: int
 
     @nn.compact
     def __call__(self, x):
-        x = pixel_unshuffle_spatial(x, 2)
-        return SpatialConv(self.dim_out, 1, name="conv")(x)
+        return SpatialConv(self.dim_out, 2, stride=2, name="conv")(x)
 
 
 class NearestUpsample3D(nn.Module):

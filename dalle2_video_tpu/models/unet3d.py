@@ -101,6 +101,16 @@ class UNet3DConfig:
     final_conv_ksize: int = 1
     combine_upsample_fmaps: bool = False
     checkpoint_during_training: bool = False
+    # False -> spatial-only (per-frame) attention everywhere; used by
+    # UnetTemporalConv (frame-wise 2D unet + temporal conv mixer)
+    joint_time_attention: bool = True
+    # "xla" | "flash": flash routes the joint attention through the Pallas
+    # streaming MQA kernel (forward-only; used on the sampling path)
+    attention_impl: str = "xla"
+    # "unet3d" | "temporal_conv" — which denoiser architecture VideoDecoder
+    # instantiates for this cascade slot (reference accepts
+    # Union[Unet3D, UnetTemporalConv], dalle2_video.py:1335)
+    arch: str = "unet3d"
 
     # ------------------------------------------------------------------ #
     def cast_for_cascade(
@@ -301,6 +311,8 @@ class UNet3D(nn.Module):
                     heads=cfg.attn_heads,
                     dim_head=cfg.attn_dim_head,
                     cosine_sim=cfg.cosine_sim_self_attn,
+                    joint_time=cfg.joint_time_attention,
+                    impl=cfg.attention_impl,
                     name=name,
                 )
             if cfg.sparse_attn:
@@ -391,6 +403,8 @@ class UNet3D(nn.Module):
                 heads=cfg.attn_heads,
                 dim_head=cfg.attn_dim_head,
                 cosine_sim=cfg.cosine_sim_self_attn,
+                joint_time=cfg.joint_time_attention,
+                impl=cfg.attention_impl,
                 name="mid_attn",
             )(x)
         x = Resnet(

@@ -1,0 +1,176 @@
+"""Pallas flash attention for the joint t*h*w bottleneck (multi-query).
+
+The decoder's only quadratic op is the joint space-time self-attention at the
+bottleneck (reference dalle2_video.py:430-431, 542-558 via
+RearrangeToSequence(Residual(Attention))): sequence length t*(h/8)*(w/8)
+(23k tokens at the shipped 90x128x128 config). dalle2-pytorch's Attention is
+multi-query — all q heads share one (k, v) head — so the kv stream is tiny
+and the kernel is MXU-bound on q@k^T and p@v.
+
+This kernel computes softmax(q k^T * scale) v in the streaming (online
+softmax) fashion:
+  * grid (batch, q_blocks, kv_blocks); kv innermost so the running
+    (max, sum, acc) state lives in VMEM scratch across kv steps
+  * q block (BLOCK_Q, dim) fused over heads: q heads are folded into the
+    q-block axis, k/v blocks shared — exactly MQA's arithmetic
+  * fp32 accumulation, bf16-friendly inputs
+
+Used on the SAMPLING path (no VJP needed); training uses the XLA attention
+(fusion there is already good at train-time sequence lengths, and remat
+dominates). Numerics validated against the XLA reference in
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU in bench).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_mqa_kernel(
+    q_ref,  # (BLOCK_Q, d)
+    k_ref,  # (BLOCK_K, d)
+    v_ref,  # (BLOCK_K, d)
+    o_ref,  # (BLOCK_Q, d)
+    m_scratch,  # (BLOCK_Q, 1) running max
+    l_scratch,  # (BLOCK_Q, 1) running sum
+    acc_scratch,  # (BLOCK_Q, d) running weighted values
+    *,
+    sm_scale: float,
+    kv_len: int,
+    block_k: int,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # blocks carry a leading singleton batch dim
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BLOCK_Q, BLOCK_K)
+    s = s * sm_scale
+
+    # mask out kv padding in the last block
+    base = kv_idx * block_k
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scratch[:]
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+
+    p = jnp.exp(s - m_next)  # (BLOCK_Q, BLOCK_K)
+    l_cur = jnp.sum(p, axis=1, keepdims=True)
+    alpha = jnp.exp(m_prev - m_next)
+    l_next = l_prev * alpha + l_cur
+
+    acc = acc_scratch[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    m_scratch[:] = m_next
+    l_scratch[:] = l_next
+    acc_scratch[:] = acc
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[:] / l_scratch[:]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_q", "block_k", "interpret")
+)
+def flash_mqa(
+    q: jnp.ndarray,  # (b, n_q, d)   n_q = q_heads * seq (heads folded in)
+    k: jnp.ndarray,  # (b, n_kv, d)  single kv head
+    v: jnp.ndarray,  # (b, n_kv, d)
+    *,
+    sm_scale: float = 1.0,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Streaming softmax(q k^T * scale) v with one shared kv head.
+
+    Handles arbitrary (unaligned) sequence lengths by padding to block
+    multiples; padding keys are masked, padding queries produce garbage rows
+    that are sliced off.
+    """
+    b, n_q, d = q.shape
+    _, n_kv, _ = k.shape
+
+    n_q_pad = _round_up(n_q, block_q)
+    n_kv_pad = _round_up(n_kv, block_k)
+    if n_q_pad != n_q:
+        q = jnp.pad(q, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
+    if n_kv_pad != n_kv:
+        k = jnp.pad(k, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+
+    grid = (b, n_q_pad // block_q, n_kv_pad // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_mqa_kernel,
+            sm_scale=sm_scale,
+            kv_len=n_kv,
+            block_k=block_k,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_q_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :n_q]
+
+
+def mqa_attention(
+    q: jnp.ndarray,  # (b, n, h, d)
+    k: jnp.ndarray,  # (b, m, d) single kv head (null kv already prepended)
+    v: jnp.ndarray,  # (b, m, d)
+    *,
+    sm_scale: float,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MQA wrapper matching models.layers.Attention's einsum semantics:
+    folds q heads into the query-sequence axis (every head shares kv), runs
+    the flash kernel, unfolds. Returns (b, n, h, d)."""
+    b, n, h, d = q.shape
+    q_folded = q.transpose(0, 2, 1, 3).reshape(b, h * n, d)
+    out = flash_mqa(
+        q_folded, k, v,
+        sm_scale=sm_scale, block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

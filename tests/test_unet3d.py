@@ -188,3 +188,22 @@ def test_jit_and_grad():
     # the non-zero out conv installed above
     stem = g["params"]["init_conv"]["conv0"]["Conv_0"]["kernel"]
     assert float(jnp.abs(stem).max()) > 0.0
+
+
+def test_unet_temporal_conv():
+    """UnetTemporalConv: per-frame 2D unet + zero-init temporal mixer; works
+    inside VideoDecoder via arch='temporal_conv'."""
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+
+    cfg = tiny_cfg(arch="temporal_conv", self_attn=(False, True))
+    dec = VideoDecoder(
+        VideoDecoderConfig(
+            unets=(cfg,), frame_sizes=(16,), frame_numbers=(4,),
+            timesteps=10, learned_variance=False,
+        )
+    )
+    params = dec.init_params(jax.random.PRNGKey(0))
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, 4, 16, 16, 3))
+    emb = jnp.ones((B, cfg.video_embed_dim))
+    loss = dec.loss(params, jax.random.PRNGKey(2), video, video_embed=emb)
+    assert np.isfinite(float(loss))
