@@ -62,9 +62,11 @@ def main():
     video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, S, S, 3))
     emb = jax.random.normal(jax.random.PRNGKey(2), (B, 512))
 
+    # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
+    # the axon TPU runtime (verified by bisection); cost is one extra state
+    # copy per step
     step = jax.jit(
         lambda s, r: trainer.train_step(s, r, video, video_embed=emb),
-        donate_argnums=(0,),
     )
 
     # compile + flops accounting

@@ -85,10 +85,17 @@ class CelebVTextDataset:
             )
 
         if videos_path is not None:
-            import h5py
+            if str(videos_path).endswith(".vshard"):
+                from dalle2_video_tpu.data.shards import ShardReader
 
-            with h5py.File(videos_path, "r") as f:
-                n_videos = f[self.h5_dataset_name].shape[0]
+                r = ShardReader(videos_path)
+                n_videos = len(r)
+                r.close()
+            else:
+                import h5py
+
+                with h5py.File(videos_path, "r") as f:
+                    n_videos = f[self.h5_dataset_name].shape[0]
             n = min(n, n_videos)
         self._len = n
         logger.info("CelebVTextDataset stage=%s size=%d", self.stage, n)
@@ -97,23 +104,31 @@ class CelebVTextDataset:
         return self._len
 
     def _videos(self):
-        """Lazy per-process h5 handle (safe with forked/threaded loaders)."""
+        """Lazy per-process store handle (h5 or native .vshard)."""
         if self._h5 is None:
-            import h5py
+            if str(self.videos_path).endswith(".vshard"):
+                from dalle2_video_tpu.data.shards import ShardReader
 
-            self._h5 = h5py.File(self.videos_path, "r")[self.h5_dataset_name]
+                self._h5 = ShardReader(self.videos_path)
+            else:
+                import h5py
+
+                self._h5 = h5py.File(self.videos_path, "r")[self.h5_dataset_name]
         return self._h5
 
     def load_videos(self, indices: np.ndarray) -> np.ndarray:
-        """Materialize (b, T, S, S, 3) float32 channels-last from the h5
+        """Materialize (b, T, S, S, 3) float32 channels-last from the store
         (reference collator read, datasets.py:33-44)."""
         ds = self._videos()
-        order = np.argsort(indices)  # h5 fancy indexing requires sorted
-        sorted_idx = indices[order]
-        vids = ds[sorted_idx.tolist()]  # (b, 3, T, S, S)
-        unsort = np.empty_like(order)
-        unsort[order] = np.arange(len(order))
-        vids = vids[unsort]
+        if hasattr(ds, "gather"):  # native shard reader: threaded gather
+            vids = ds.gather(indices)
+        else:
+            order = np.argsort(indices)  # h5 fancy indexing requires sorted
+            sorted_idx = indices[order]
+            vids = ds[sorted_idx.tolist()]  # (b, 3, T, S, S)
+            unsort = np.empty_like(order)
+            unsort[order] = np.arange(len(order))
+            vids = vids[unsort]
         return np.ascontiguousarray(np.transpose(vids, (0, 2, 3, 4, 1)))
 
     def batch_items(self, indices: np.ndarray) -> Dict[str, np.ndarray]:

@@ -120,10 +120,53 @@ def preprocess_frames(frames: np.ndarray, size: int, normalize: bool) -> np.ndar
     return np.transpose(out, (3, 0, 1, 2))
 
 
-def run(cfg: PreprocessConfig) -> Tuple[int, str, str]:
-    """Process the corpus; returns (num_clips, h5_path, tokens_path)."""
-    import h5py
+class _H5Sink:
+    def __init__(self, path: Path):
+        import h5py
 
+        self._f = h5py.File(path, "w")
+        self._dset = None
+        self.count = 0
+
+    def append(self, clip: np.ndarray):
+        if self._dset is None:
+            self._dset = self._f.create_dataset(
+                "videos", shape=(0, *clip.shape), maxshape=(None, *clip.shape),
+                chunks=(1, *clip.shape), dtype=np.float32,
+            )
+        self._dset.resize(self.count + 1, axis=0)
+        self._dset[self.count] = clip
+        self.count += 1
+
+    def close(self):
+        self._f.close()
+
+
+class _ShardSink:
+    def __init__(self, path: Path):
+        self._path = path
+        self._w = None
+        self.count = 0
+
+    def append(self, clip: np.ndarray):
+        if self._w is None:
+            from dalle2_video_tpu.data.shards import ShardWriter
+
+            self._w = ShardWriter(self._path, clip.shape, np.float32)
+        self._w.append(clip)
+        self.count = self._w.count
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+
+
+def run(cfg: PreprocessConfig) -> Tuple[int, str, str]:
+    """Process the corpus; returns (num_clips, store_path, tokens_path).
+
+    Output store format follows the extension of ``out_h5``: ``.h5`` keeps
+    the reference-compatible chunked h5; ``.vshard`` writes the native
+    mmap store read by the C++ shard reader."""
     from dalle2_video_tpu.data.tokenizer import get_tokenizer, tokenize
 
     num_frames = cfg.seq_len * cfg.fps
@@ -139,8 +182,8 @@ def run(cfg: PreprocessConfig) -> Tuple[int, str, str]:
     tok = get_tokenizer(cfg.bpe_path)
     texts: List[str] = []
     count = 0
-    with h5py.File(out_h5, "w") as f:
-        dset = None
+    sink = _ShardSink(out_h5) if str(out_h5).endswith(".vshard") else _H5Sink(out_h5)
+    try:
         for txt_file in details:
             name = txt_file.stem
             video_path = Path(cfg.videos_root) / f"{name}.mp4"
@@ -152,20 +195,13 @@ def run(cfg: PreprocessConfig) -> Tuple[int, str, str]:
                 logger.warning("short/broken video %s, skipping", name)
                 continue
             clip = preprocess_frames(frames, cfg.frame_size, cfg.normalize)
-            if dset is None:
-                dset = f.create_dataset(
-                    "videos",
-                    shape=(0, *clip.shape),
-                    maxshape=(None, *clip.shape),
-                    chunks=(1, *clip.shape),
-                    dtype=np.float32,
-                )
-            dset.resize(count + 1, axis=0)
-            dset[count] = clip
+            sink.append(clip)
             texts.append(load_text(name, cfg))
             count += 1
             if count % 50 == 0:
                 logger.info("processed %d clips", count)
+    finally:
+        sink.close()
 
     tokens = tokenize(texts, truncate=True, tokenizer=tok)
     np.save(out_tokens, tokens)

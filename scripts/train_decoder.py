@@ -135,6 +135,17 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(cfg["seed"])
     state = shard_state(trainer.init_state(rng), mesh)
+
+    # crash recovery: resume=true reloads the rolling `last` checkpoint
+    # (replaces the reference's manual-restart + trainer.load flow,
+    # SURVEY.md §5 failure-detection entry)
+    ckpt_dir = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}"
+    if bool(cfg.get("resume", False)) and (ckpt_dir / "last").exists():
+        from dalle2_video_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(str(ckpt_dir / "last"), state)
+        log.info("resumed from %s at steps %s", ckpt_dir / "last",
+                 np.asarray(state.steps))
     steps = {
         u: make_sharded_train_step(trainer, mesh, u, donate_state=False)
         for u in (1, 2)
@@ -147,7 +158,6 @@ def main() -> None:
 
     mlog = MetricsLogger(cfg["run_dir"], f"decoder_{cfg['train_name']}",
                          cfg["use_wandb"], cfg)
-    ckpt_dir = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}"
     best_val = float("inf")
     key = rng
 

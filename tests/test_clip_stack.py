@@ -121,3 +121,39 @@ def test_clip_text_encoder_causal():
     e1 = enc.apply(params, toks1)
     e2 = enc.apply(params, toks2)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+
+
+def test_clip_adapter_facade():
+    from dalle2_video_tpu.models.clip_adapter import VideoClipAdapter
+    from dalle2_video_tpu.models.vivit import ViViT, ViViTConfig
+
+    vcfg = ViViTConfig(frame_size=16, patch_size=8, num_frames=25, dim=24,
+                       depth=1, heads=2, dim_head=8)
+    tcfg = CLIPTextConfig(vocab_size=50, context_length=8, width=16, heads=2,
+                          layers=1, embed_dim=24)
+    videos = jax.random.normal(jax.random.PRNGKey(0), (2, 25, 16, 16, 3))
+    tokens = jnp.array([[1, 5, 49, 0, 0, 0, 0, 0]] * 2, jnp.int32)
+    vp = ViViT(vcfg).init(jax.random.PRNGKey(1), videos)
+    tp = CLIPTextEncoder(tcfg).init(jax.random.PRNGKey(2), tokens)
+    adapter = VideoClipAdapter.create(vcfg, vp, tp, tcfg)
+    emb_t, enc = adapter.embed_text(tokens)
+    emb_v, none = adapter.embed_video(videos)
+    assert emb_t.shape == (2, 24) and enc.shape == (2, 8, 16)
+    assert emb_v.shape == (2, 24) and none is None
+    assert adapter.dim_latent == 24
+    # frozen: no gradient flows through the adapter
+    g = jax.grad(lambda v: adapter.embed_video(v)[0].sum())(videos)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_chunked_apply():
+    from dalle2_video_tpu.utils.chunked import chunked_apply
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.arange(10.0)[:, None]
+    out = chunked_apply(f, 10, 4, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2)
+    # kwargs + non-array args pass through
+    g = jax.jit(lambda x, scale, y=None: x * scale + y)
+    out2 = chunked_apply(g, 10, 3, x, 3.0, y=x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x) * 4)
