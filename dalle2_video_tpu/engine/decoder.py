@@ -357,9 +357,12 @@ class VideoDecoder:
         video_embed: Optional[jnp.ndarray] = None,
         text_encodings: Optional[jnp.ndarray] = None,
         unet_number: int = 1,
+        compute_dtype=None,
     ) -> jnp.ndarray:
         """One denoising-loss step for one cascade stage. unet_number is
-        1-indexed and STATIC (pick at trace time, reference :2206-2216)."""
+        1-indexed and STATIC (pick at trace time, reference :2206-2216).
+        compute_dtype (e.g. jnp.bfloat16) runs the network in mixed
+        precision; diffusion math stays f32."""
         cfg = self.config
         i = unet_number - 1
         ucfg = self.unet_configs[i]
@@ -432,6 +435,7 @@ class VideoDecoder:
             lowres_cond_video=lowres_cond_video,
             lowres_noise_level=lowres_noise_level,
             is_latent=vae.is_latent,
+            compute_dtype=compute_dtype,
         )
 
     def _p_losses(
@@ -447,6 +451,7 @@ class VideoDecoder:
         lowres_cond_video=None,
         lowres_noise_level=None,
         is_latent: bool = False,
+        compute_dtype=None,
     ) -> jnp.ndarray:
         cfg = self.config
         ucfg = self.unet_configs[i]
@@ -483,13 +488,14 @@ class VideoDecoder:
         self_cond = None
         if ucfg.self_cond:
             def with_selfcond(_):
+                sc_in = x_noisy if compute_dtype is None else x_noisy.astype(compute_dtype)
                 out = unet.apply(
-                    unet_params, x_noisy, times,
+                    unet_params, sc_in, times,
                     video_keep_mask=jnp.ones((b,), bool),
                     text_keep_mask=jnp.ones((b,), bool),
                     **base_kwargs,
                 )
-                pred, _ = self.parse_unet_output(learned_var, out)
+                pred, _ = self.parse_unet_output(learned_var, out.astype(jnp.float32))
                 return jax.lax.stop_gradient(pred)
 
             coin = jax.random.bernoulli(k_selfcond, 0.5)
@@ -497,9 +503,22 @@ class VideoDecoder:
                 coin, with_selfcond, lambda _: jnp.zeros_like(x_noisy), None
             )
 
+        # mixed precision: diffusion math stays f32 above; the network runs
+        # in compute_dtype (bf16) with f32 master params cast by the trainer
+        x_noisy_in = x_noisy
+        if compute_dtype is not None:
+            cast = lambda a: None if a is None else a.astype(compute_dtype)
+            x_noisy_in = cast(x_noisy)
+            base_kwargs = {
+                k: (cast(v) if k in ("video_embed", "text_encodings",
+                                     "lowres_cond_video") else v)
+                for k, v in base_kwargs.items()
+            }
+            self_cond = cast(self_cond)
+
         unet_output = unet.apply(
             unet_params,
-            x_noisy,
+            x_noisy_in,
             times,
             video_keep_mask=video_keep,
             text_keep_mask=text_keep,
@@ -507,6 +526,7 @@ class VideoDecoder:
             enable_checkpoint=True,
             **base_kwargs,
         )
+        unet_output = unet_output.astype(jnp.float32)
         pred, _ = self.parse_unet_output(learned_var, unet_output)
 
         if self.predict_v[i]:

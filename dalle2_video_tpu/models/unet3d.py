@@ -293,6 +293,13 @@ class UNet3D(nn.Module):
         c = nn.LayerNorm(name="norm_cond")(c)
         mid_c = nn.LayerNorm(name="norm_mid_cond")(mid_c)
 
+        # keep the conditioning streams in the activation dtype — otherwise a
+        # f32 time embedding re-promotes every FiLM-conditioned fmap to f32
+        # and silently disables bf16 compute
+        t = t.astype(x.dtype)
+        c = c.astype(x.dtype)
+        mid_c = mid_c.astype(x.dtype)
+
         # --- stage plumbing ---------------------------------------------- #
         in_out = cfg.stage_dims
         num_stages = len(in_out)

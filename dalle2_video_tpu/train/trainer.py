@@ -152,13 +152,20 @@ class DecoderTrainer:
         cfg = self.cfg
 
         def loss_for_params(unet_params, key, vid, emb, txt):
+            if cfg.bf16_compute:
+                # bf16 compute with f32 master params: cast the unet's params
+                # for the forward/backward; grads flow back to f32 masters
+                unet_params = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a,
+                    unet_params,
+                )
             p = dict(state.params)
             p[f"unet_{i}"] = unet_params
-            if cfg.bf16_compute:
-                vid = vid.astype(jnp.bfloat16)
             return self.decoder.loss(
                 p, key, vid,
                 video_embed=emb, text_encodings=txt, unet_number=unet_number,
+                compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None,
             )
 
         unet_params = state.params[f"unet_{i}"]
