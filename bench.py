@@ -44,7 +44,10 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.device_kind})", file=sys.stderr)
 
-    B, T, S = 8, 16, 64
+    # B=16 is the single-chip sweet spot on v5e (B=32 OOMs at 22G/15.75G;
+    # dominant costs: 2x lane-padding on dim-64 stage-0 tensors + tiny-context
+    # cross-attn sim matrices — see docs/PERF.md)
+    B, T, S = 16, 16, 64
     unet = UNet3DConfig(
         dim=64, dim_mults=(1, 2, 4, 8), video_embed_dim=512,
         num_resnet_blocks=2, attn_heads=16, attn_dim_head=32,

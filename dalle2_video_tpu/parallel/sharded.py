@@ -54,27 +54,70 @@ def replicated_tree(tree: Any, mesh: Mesh):
     return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
 
 
-def state_shardings(state: TrainState, mesh: Mesh, zero1: bool = True) -> TrainState:
-    """Sharding pytree matching a TrainState."""
-    params_sh = replicated_tree(state.params, mesh)
-    if zero1:
-        opt_sh = jax.tree_util.tree_map(
-            lambda leaf: NamedSharding(
-                mesh, _leaf_zero1_spec(leaf, mesh.shape[DATA_AXIS])
-            ),
-            state.opt_states,
+def _leaf_tp_spec(leaf, model_size: int, min_width: int = 128) -> P:
+    """Megatron-style column parallelism: shard the output-feature (last)
+    axis of wide kernels over 'model'; GSPMD derives activation shardings
+    and inserts the collectives. min_width guards against sharding kernels
+    too narrow to be worth the collectives."""
+    shape = getattr(leaf, "shape", ())
+    if (
+        len(shape) >= 2
+        and shape[-1] % model_size == 0
+        and shape[-1] >= min_width
+    ):
+        spec = [None] * len(shape)
+        spec[-1] = MODEL_AXIS
+        return P(*spec)
+    return P()
+
+
+def state_shardings(
+    state: TrainState, mesh: Mesh, zero1: bool = True, tp: bool = False,
+    tp_min_width: int = 128,
+) -> TrainState:
+    """Sharding pytree matching a TrainState: params replicated (or TP column
+    sharded over 'model'); optimizer state + EMA mirror the param sharding,
+    plus ZeRO-1 data-axis sharding where divisible."""
+    model_size = mesh.shape[MODEL_AXIS]
+    use_tp = tp and model_size > 1
+
+    def param_spec(leaf) -> P:
+        return _leaf_tp_spec(leaf, model_size, tp_min_width) if use_tp else P()
+
+    params_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, param_spec(leaf)), state.params
+    )
+
+    def opt_spec(leaf) -> P:
+        tp_spec = list(param_spec(leaf)) + [None] * (
+            getattr(leaf, "ndim", 0) - len(param_spec(leaf))
         )
-    else:
-        opt_sh = replicated_tree(state.opt_states, mesh)
-    ema_sh = replicated_tree(state.ema, mesh)
+        if zero1:
+            z = _leaf_zero1_spec(leaf, mesh.shape[DATA_AXIS])
+            z = list(z) + [None] * (getattr(leaf, "ndim", 0) - len(z))
+            merged = [
+                (t if t is not None else d) for t, d in zip(tp_spec, z)
+            ]
+            return P(*merged)
+        return P(*tp_spec)
+
+    opt_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, opt_spec(leaf)), state.opt_states
+    )
+    ema_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, param_spec(leaf)), state.ema
+    )
     steps_sh = NamedSharding(mesh, P())
     return TrainState(
         params=params_sh, opt_states=opt_sh, ema=ema_sh, steps=steps_sh
     )
 
 
-def shard_state(state: TrainState, mesh: Mesh, zero1: bool = True) -> TrainState:
-    sh = state_shardings(state, mesh, zero1)
+def shard_state(
+    state: TrainState, mesh: Mesh, zero1: bool = True, tp: bool = False,
+    tp_min_width: int = 128,
+) -> TrainState:
+    sh = state_shardings(state, mesh, zero1, tp, tp_min_width)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, sh,
         is_leaf=lambda x: x is None,

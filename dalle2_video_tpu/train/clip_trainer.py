@@ -91,7 +91,9 @@ class ClipTrainer:
             from dalle2_video_tpu.models.clip_text import load_openai_clip_text_params
 
             return load_openai_clip_text_params(openai_ckpt)
-        return self.text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))
+        return self.text_encoder.init(
+            rng, jnp.zeros((1, self.text_encoder.cfg.context_length), jnp.int32)
+        )
 
     # ------------------------------------------------------------------ #
     def embed_text(self, text_params, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -134,6 +136,53 @@ class ClipTrainer:
             ),
             metrics,
         )
+
+    def make_sharded_train_step(self, mesh):
+        """Data-parallel CLIP step over the mesh with the GLOBAL-batch
+        contrastive loss: each shard embeds its videos/texts locally, the
+        logit matrix is formed via shard_map all_gather (utils/contrastive.
+        sharded_clip_loss), and pjit inserts the gradient psum — the TPU
+        equivalent of large-batch CLIP training (SURVEY.md §5)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dalle2_video_tpu.parallel.mesh import DATA_AXIS
+        from dalle2_video_tpu.utils.contrastive import (
+            retrieval_metrics,
+            sharded_clip_loss,
+        )
+
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+        repl = NamedSharding(mesh, P())
+
+        def step(state, text_params, videos, tokens):
+            text_embeds = self.embed_text(text_params, tokens)
+
+            def loss_fn(trainable):
+                video_embeds = self.vivit.apply(trainable["vivit"], videos)
+                loss = sharded_clip_loss(
+                    video_embeds, text_embeds, trainable["temp"], mesh
+                )
+                return loss, video_embeds
+
+            trainable = {"vivit": state.vivit_params, "temp": state.temperature}
+            (loss, video_embeds), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable)
+            updates, new_opt = self.optimizer.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            metrics = {"loss": loss, "temperature": new_trainable["temp"]}
+            metrics.update(retrieval_metrics(video_embeds, text_embeds))
+            return (
+                ClipTrainState(
+                    vivit_params=new_trainable["vivit"],
+                    temperature=new_trainable["temp"],
+                    opt_state=new_opt,
+                    step=state.step + 1,
+                ),
+                metrics,
+            )
+
+        return jax.jit(step, in_shardings=(None, repl, batch_sh, batch_sh))
 
     def eval_step(
         self, state: ClipTrainState, text_params: Any, videos, tokens
