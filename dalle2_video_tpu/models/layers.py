@@ -149,12 +149,16 @@ class CrossAttention(nn.Module):
         else:
             scale = d**-0.5
 
-        sim = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        # context-major layout: the context axis m is tiny (6-8 cond tokens),
+        # so keeping it off the 128-lane minor axis avoids an ~9x padded
+        # (b,h,n,m) sim tensor (the B=32 OOM driver — docs/PERF.md #2);
+        # n stays minor and tiles perfectly
+        sim = jnp.einsum("bnhd,bmhd->bmhn", q * scale, k)
         if mask is not None:
             mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
-            sim = jnp.where(mask[:, None, None, :], sim, jnp.finfo(sim.dtype).min)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+            sim = jnp.where(mask[:, :, None, None], sim, jnp.finfo(sim.dtype).min)
+        attn = jax.nn.softmax(sim, axis=1)
+        out = jnp.einsum("bmhn,bmhd->bnhd", attn, v).reshape(b, n, inner)
         out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, name="to_out")(out)
         return ScaleOnlyLayerNorm(name="out_norm")(out)
 

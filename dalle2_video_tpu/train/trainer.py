@@ -237,6 +237,44 @@ class DecoderTrainer:
         )
 
     # ------------------------------------------------------------------ #
+    def train_steps_scan(
+        self,
+        state: TrainState,
+        rng: jax.Array,
+        videos: jnp.ndarray,  # (K, B, T, S, S, C) — K microsteps
+        *,
+        video_embeds: Optional[jnp.ndarray] = None,  # (K, B, D)
+        text_encodings: Optional[jnp.ndarray] = None,
+        unet_number: int = 1,
+    ) -> Tuple[TrainState, jnp.ndarray]:
+        """K optimizer steps fused into ONE compiled program via lax.scan —
+        amortizes host->device dispatch (significant over this environment's
+        TPU tunnel; docs/PERF.md #5). Returns (state, per-step losses (K,))."""
+        k = videos.shape[0]
+        keys = jax.random.split(rng, k)
+
+        def body(st, xs):
+            if text_encodings is not None and video_embeds is not None:
+                key, vid, emb, txt = xs
+            elif video_embeds is not None:
+                key, vid, emb = xs
+                txt = None
+            else:
+                (key, vid), emb, txt = xs, None, None
+            st, loss = self.train_step(
+                st, key, vid,
+                video_embed=emb, text_encodings=txt, unet_number=unet_number,
+            )
+            return st, loss
+
+        xs: Tuple = (keys, videos)
+        if video_embeds is not None:
+            xs = xs + (video_embeds,)
+        if text_encodings is not None:
+            xs = xs + (text_encodings,)
+        return jax.lax.scan(body, state, xs)
+
+    # ------------------------------------------------------------------ #
     def eval_loss(
         self,
         state: TrainState,

@@ -1,0 +1,130 @@
+"""Secondary benchmarks over the BASELINE.md config set (one JSON line each):
+
+  decoder_train   — same as bench.py (frames/s/chip)
+  sampling        — 16x64x64, 250-step DDPM ancestral decode (steps/s/chip)
+  clip_step       — video-CLIP contrastive step (pairs/s/chip)
+  preprocess      — 8 synthetic clips -> tokens + 16-frame 64x64 store (clips/s)
+
+Usage: python scripts/bench_all.py [suite ...]   (default: all but decoder)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def emit(metric, value, unit, vs=0.0):
+    print(json.dumps({"metric": metric, "value": round(float(value), 2),
+                      "unit": unit, "vs_baseline": round(float(vs), 4)}))
+
+
+def bench_sampling():
+    """BASELINE: 16x64x64, 250-step ancestral decode, frames/s/chip."""
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+
+    B, T, S, STEPS = 4, 16, 64, 250
+    unet = UNet3DConfig(dim=64, dim_mults=(1, 2, 4, 8), video_embed_dim=512,
+                        num_resnet_blocks=2, attn_heads=16, attn_dim_head=32)
+    dec = VideoDecoder(VideoDecoderConfig(
+        unets=(unet,), frame_sizes=(S,), frame_numbers=(T,),
+        timesteps=STEPS, learned_variance=False,
+        flash_attention_sampling=True,
+    ))
+    params = dec.init_params(jax.random.PRNGKey(0))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, 512))
+
+    run = jax.jit(lambda p, r: dec.sample_stage(
+        0, p, r, batch_size=B, video_embed=emb, cond_scale=3.0))
+    t0 = time.time()
+    out = run(params, jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+    print(f"sampling compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
+    t0 = time.time()
+    out = run(params, jax.random.PRNGKey(3))
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    print(f"sampling: {dt:.2f}s for {STEPS} steps x batch {B} (CFG 2x)",
+          file=sys.stderr)
+    emit("sampling_steps_per_sec", STEPS / dt, "denoise steps/s/chip")
+    emit("sampling_frames_per_sec", B * T / dt, "frames/s/chip")
+
+
+def bench_clip():
+    """BASELINE: video-CLIP contrastive step, pairs/s (batch 4, 16x64x64)."""
+    from dalle2_video_tpu.models.clip_text import CLIPTextConfig
+    from dalle2_video_tpu.models.vivit import ViViTConfig
+    from dalle2_video_tpu.train.clip_trainer import ClipTrainer, ClipTrainerConfig
+
+    B, T, S = 4, 16, 64
+    vcfg = ViViTConfig(frame_size=S, patch_size=16, num_frames=25, dim=512,
+                       depth=2, heads=8, dim_head=64)
+    # num_frames must divide scale_dim_conv^2=25; use 25 frames >= T
+    trainer = ClipTrainer(vcfg, CLIPTextConfig(), ClipTrainerConfig(total_steps=100))
+    videos = jax.random.uniform(jax.random.PRNGKey(0), (B, 25, S, S, 3))
+    tokens = jnp.ones((B, 77), jnp.int32)
+    state = trainer.init_state(jax.random.PRNGKey(1), videos[:1])
+    text_params = trainer.init_text_params(jax.random.PRNGKey(2))
+    step = jax.jit(trainer.train_step)
+    t0 = time.time()
+    state, m = step(state, text_params, videos, tokens)
+    jax.block_until_ready(m["loss"])
+    print(f"clip compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = step(state, text_params, videos, tokens)
+    jax.block_until_ready(m["loss"])
+    dt = (time.time() - t0) / iters
+    print(f"clip step: {dt*1000:.0f}ms", file=sys.stderr)
+    # reference anecdote: ~0.9 pairs/s (README.md:14 derivation, BASELINE.md)
+    emit("clip_pairs_per_sec", B / dt, "pairs/s/chip", (B / dt) / 0.9)
+
+
+def bench_preprocess():
+    """BASELINE: 8 clips -> tokenized texts + 16-frame 64x64 store (CPU)."""
+    import tempfile
+
+    import cv2
+
+    from dalle2_video_tpu.data.preprocess import PreprocessConfig, run
+
+    tmp = Path(tempfile.mkdtemp())
+    (tmp / "texts/face40_details_new").mkdir(parents=True)
+    (tmp / "videos").mkdir()
+    for i in range(8):
+        (tmp / f"texts/face40_details_new/c{i}.txt").write_text(f"a person {i}")
+        vw = cv2.VideoWriter(str(tmp / f"videos/c{i}.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 16, (128, 128))
+        r = np.random.RandomState(i)
+        for _ in range(16):
+            vw.write(r.randint(0, 255, (128, 128, 3), np.uint8))
+        vw.release()
+    t0 = time.time()
+    count, _, _ = run(PreprocessConfig(
+        texts_root=str(tmp / "texts"), videos_root=str(tmp / "videos"),
+        out_h5=str(tmp / "v.vshard"), out_tokens=str(tmp / "t.npy"),
+        seq_len=1, fps=16, frame_size=64, normalize=False))
+    dt = time.time() - t0
+    emit("preprocess_clips_per_sec", count / dt, "clips/s (cpu)")
+
+
+SUITES = {
+    "sampling": bench_sampling,
+    "clip": bench_clip,
+    "preprocess": bench_preprocess,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["preprocess", "clip", "sampling"]
+    for n in names:
+        SUITES[n]()

@@ -231,3 +231,27 @@ def test_tp_sharded_step_matches_dp(mesh8):
     _, loss_ref = trainer.train_step(state, jax.random.PRNGKey(1), video,
                                      video_embed=emb)
     np.testing.assert_allclose(float(loss_tp), float(loss_ref), rtol=2e-4)
+
+
+def test_train_steps_scan_matches_loop(trainer_and_state):
+    """K scanned steps == K sequential steps (same keys)."""
+    trainer, state = trainer_and_state
+    K = 3
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    vids = jnp.stack([batch(i)[0] for i in range(K)])
+    embs = jnp.stack([batch(i)[1] for i in range(K)])
+    st_scan, losses = trainer.train_steps_scan(
+        state, jax.random.PRNGKey(7), vids, video_embeds=embs
+    )
+    assert losses.shape == (K,)
+    st_loop = state
+    for i in range(K):
+        st_loop, li = trainer.train_step(
+            st_loop, keys[i], vids[i], video_embed=embs[i]
+        )
+        np.testing.assert_allclose(float(losses[i]), float(li), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_scan.params["unet_0"]),
+        jax.tree_util.tree_leaves(st_loop.params["unet_0"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
