@@ -92,16 +92,52 @@ class SpatialConv(nn.Module):
         return y.reshape(b, t, y.shape[1], y.shape[2], self.features)
 
 
+class _GNParams(nn.Module):
+    """Bare GroupNorm affine params with flax GroupNorm's names — lets the
+    fused Pallas path share a param tree with the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class Block3D(nn.Module):
     """conv(1,3,3) -> GroupNorm -> FiLM scale/shift -> SiLU
-    (reference Block3D, dalle2_video.py:99-133)."""
+    (reference Block3D, dalle2_video.py:99-133).
+
+    norm_impl="pallas" streams GN statistics + affine + FiLM + SiLU through
+    one fused kernel (ops/pallas/groupnorm_film.py) — avoids flax GN's full
+    f32 materialization of bf16 inputs. Param tree identical across impls.
+    """
 
     dim_out: int
     groups: int = 8
+    norm_impl: str = "xla"  # "xla" | "pallas"
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
         x = SpatialConv(self.dim_out, 3, name="project")(x)
+        if self.norm_impl == "pallas":
+            from dalle2_video_tpu.ops.pallas.groupnorm_film import (
+                groupnorm_film_silu,
+            )
+
+            gamma, beta = _GNParams(self.dim_out, name="norm")()
+            b, t, h, w, c = x.shape
+            if scale_shift is not None:
+                scale, shift = scale_shift
+            else:
+                scale = jnp.zeros((b, c), x.dtype)
+                shift = jnp.zeros((b, c), x.dtype)
+            y = groupnorm_film_silu(
+                x.reshape(b, t * h * w, c), gamma, beta, scale, shift,
+                self.groups, 1e-5,
+            )
+            return y.reshape(b, t, h, w, c).astype(x.dtype)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift  # each (b, dim_out)
@@ -290,6 +326,7 @@ class ResnetBlock3D(nn.Module):
     time_cond_dim: Optional[int] = None
     groups: int = 8
     cosine_sim_cross_attn: bool = False
+    norm_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, time_emb=None, cond=None):
@@ -299,7 +336,8 @@ class ResnetBlock3D(nn.Module):
             te = nn.Dense(self.dim_out * 2, kernel_init=torch_kernel_init, name="time_mlp")(te)
             scale_shift = jnp.split(te, 2, axis=-1)
 
-        h = Block3D(self.dim_out, groups=self.groups, name="block1")(x, scale_shift)
+        h = Block3D(self.dim_out, groups=self.groups, norm_impl=self.norm_impl,
+                    name="block1")(x, scale_shift)
 
         if self.cond_dim is not None:
             assert cond is not None, "cross-attention block requires cond tokens"
@@ -316,7 +354,8 @@ class ResnetBlock3D(nn.Module):
             )
             h = tokens.reshape(b, t, hh, ww, c)
 
-        h = Block3D(self.dim_out, groups=self.groups, name="block2")(h)
+        h = Block3D(self.dim_out, groups=self.groups, norm_impl=self.norm_impl,
+                    name="block2")(h)
 
         if x.shape[-1] != self.dim_out:
             x = SpatialConv(self.dim_out, 1, name="res_conv")(x)

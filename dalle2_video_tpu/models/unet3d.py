@@ -107,6 +107,8 @@ class UNet3DConfig:
     # "xla" | "flash": flash routes the joint attention through the Pallas
     # streaming MQA kernel (forward-only; used on the sampling path)
     attention_impl: str = "xla"
+    # "xla" | "pallas": pallas fuses GroupNorm+FiLM+SiLU (custom VJP)
+    groupnorm_impl: str = "xla"
     # "unet3d" | "temporal_conv" — which denoiser architecture VideoDecoder
     # instantiates for this cascade slot (reference accepts
     # Union[Unet3D, UnetTemporalConv], dalle2_video.py:1335)
@@ -348,6 +350,7 @@ class UNet3D(nn.Module):
                 cfg.resolved_init_dim,
                 time_cond_dim=time_cond_dim,
                 groups=groups_per[0],
+                norm_impl=cfg.groupnorm_impl,
                 name="init_resnet_block",
             )(x, t)
 
@@ -370,6 +373,7 @@ class UNet3D(nn.Module):
                 dim_layer,
                 time_cond_dim=time_cond_dim,
                 groups=groups,
+                norm_impl=cfg.groupnorm_impl,
                 name=f"down{ind}_init_block",
             )(x, t)
 
@@ -380,6 +384,7 @@ class UNet3D(nn.Module):
                     time_cond_dim=time_cond_dim,
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
+                    norm_impl=cfg.groupnorm_impl,
                     name=f"down{ind}_block{j}",
                 )(x, t, c)
                 down_hiddens.append(x)
@@ -402,6 +407,7 @@ class UNet3D(nn.Module):
             time_cond_dim=time_cond_dim,
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
+            norm_impl=cfg.groupnorm_impl,
             name="mid_block1",
         )(x, t, mid_c)
         if cfg.attend_at_middle:
@@ -420,6 +426,7 @@ class UNet3D(nn.Module):
             time_cond_dim=time_cond_dim,
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
+            norm_impl=cfg.groupnorm_impl,
             name="mid_block2",
         )(x, t, mid_c)
 
@@ -444,6 +451,7 @@ class UNet3D(nn.Module):
                 time_cond_dim=time_cond_dim,
                 groups=groups,
                 cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
+                norm_impl=cfg.groupnorm_impl,
                 name=f"up{ind}_init_block",
             )(x, t, c)
 
@@ -455,6 +463,7 @@ class UNet3D(nn.Module):
                     time_cond_dim=time_cond_dim,
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
+                    norm_impl=cfg.groupnorm_impl,
                     name=f"up{ind}_block{j}",
                 )(x, t, c)
 
@@ -475,6 +484,7 @@ class UNet3D(nn.Module):
             cfg.dim,
             time_cond_dim=time_cond_dim,
             groups=groups_per[0],
+            norm_impl=cfg.groupnorm_impl,
             name="final_resnet_block",
         )(x, t)
         if cfg.lowres_cond:
