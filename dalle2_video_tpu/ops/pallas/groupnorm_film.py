@@ -8,15 +8,21 @@ allocations in the B=32 OOM dump — docs/PERF.md): this kernel streams the
 input twice (f32 accumulation in VMEM scratch, no f32 materialization) and
 fuses normalize + affine + FiLM + SiLU into the second pass.
 
-Grid: (B, 2 phases, L blocks), sequential on the core so the per-channel
-sum/sumsq scratch persists across the L sweep of one batch row:
-  phase 0: accumulate per-channel sum / sum-of-squares (masked tail)
-  phase 1: fold channels into groups -> mean/rstd, then
-           silu(((x - mu) * rstd * gamma + beta) * (scale+1) + shift)
+Algebra: (xhat*gamma + beta)*(scale+1) + shift == xhat*A + B with
+A = gamma*(scale+1), B = beta*(scale+1) + shift — A/B are tiny (B, C)
+vectors precomputed in XLA and passed as (B, 1, C) f32 blocks. (Real-TPU
+BlockSpecs require trailing block dims divisible by (8, 128) or equal to
+the array dims — (1, C) blocks of a (B, C) array are rejected, and dynamic
+bf16 sublane row loads are unsupported; both learned the hard way.)
 
-Gradients: wrapped in jax.custom_vjp; the backward recomputes statistics
-from the saved input (standard GN remat backward, pure XLA) — residuals are
-{x, gamma, scale_shift} instead of normalized copies.
+Grid: (B, 2 phases, L blocks), sequential per batch row so the per-channel
+sum/sumsq scratch persists across the L sweep:
+  phase 0: accumulate per-channel sum / sum-of-squares (masked tail)
+  phase 1: matmul-fold channels->groups (Mosaic forbids lane reshapes),
+           then silu(xhat*A + B)
+
+Gradients: jax.custom_vjp; the backward recomputes statistics from the
+saved raw inputs (standard recompute backward, pure XLA).
 """
 
 from __future__ import annotations
@@ -31,16 +37,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    x_ref,       # (1, BL, C)
-    gamma_ref,   # (1, C)
-    beta_ref,    # (1, C)
-    scale_ref,   # (1, C)  per-batch FiLM scale
-    shift_ref,   # (1, C)  per-batch FiLM shift
-    o_ref,       # (1, BL, C)
-    sum_s,       # (1, C) f32 scratch
-    sq_s,        # (1, C) f32 scratch
-    mean_s,      # (1, C) f32 scratch (per-channel broadcast of group mean)
-    rstd_s,      # (1, C) f32 scratch
+    x_ref,    # (1, BL, C)
+    a_ref,    # (1, 1, C) f32: gamma*(scale+1) for this batch row
+    b_ref,    # (1, 1, C) f32: beta*(scale+1)+shift
+    o_ref,    # (1, BL, C)
+    sum_s,    # (1, C) f32 scratch
+    sq_s,     # (1, C) f32 scratch
+    mean_s,   # (1, C) f32 scratch (per-channel broadcast of group mean)
+    rstd_s,   # (1, C) f32 scratch
     *,
     groups: int,
     eps: float,
@@ -67,27 +71,30 @@ def _kernel(
 
     @pl.when((p == 0) & (li == n_l - 1))
     def _finalize_stats():
+        # group-fold via a (C, G) membership-matrix matmul — Mosaic does not
+        # support lane reshapes like (1, C) -> (G, C/G) on real TPUs
         c = sum_s.shape[1]
         cg = c // groups
         n_el = jnp.float32(seq_len * cg)
-        s = sum_s[:].reshape(groups, cg)
-        q = sq_s[:].reshape(groups, cg)
-        g_sum = jnp.sum(s, axis=1, keepdims=True)  # (G, 1)
-        g_sq = jnp.sum(q, axis=1, keepdims=True)
+        chan_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+        group_id = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+        member = (chan_group == group_id).astype(jnp.float32)  # (C, G)
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        g_sum = dot(sum_s[:], member)  # (1, G)
+        g_sq = dot(sq_s[:], member)
         mean = g_sum / n_el
         var = g_sq / n_el - mean * mean
         rstd = jax.lax.rsqrt(var + eps)
-        mean_s[:] = jnp.broadcast_to(mean, (groups, cg)).reshape(1, c)
-        rstd_s[:] = jnp.broadcast_to(rstd, (groups, cg)).reshape(1, c)
+        mean_s[:] = dot(mean, member.T)  # broadcast back to (1, C)
+        rstd_s[:] = dot(rstd, member.T)
 
     @pl.when(p == 1)
     def _normalize():
         x = x_ref[0].astype(jnp.float32)
         y = (x - mean_s[:]) * rstd_s[:]
-        y = y * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
-        y = y * (scale_ref[:].astype(jnp.float32) + 1.0) + shift_ref[:].astype(
-            jnp.float32
-        )
+        y = y * a_ref[0] + b_ref[0]
         o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
@@ -100,8 +107,13 @@ def _fwd_impl(x, gamma, beta, scale, shift, groups, eps, block_l, interpret):
         x_in = x
     n_l = l_pad // block_l
 
-    gamma2 = jnp.broadcast_to(gamma[None, :], (b, c))
-    beta2 = jnp.broadcast_to(beta[None, :], (b, c))
+    # fold GN affine + FiLM into two per-batch channel vectors (module doc)
+    g32 = gamma.astype(jnp.float32)[None, :]
+    b32 = beta.astype(jnp.float32)[None, :]
+    s32 = scale.astype(jnp.float32)
+    t32 = shift.astype(jnp.float32)
+    a_vec = (g32 * (s32 + 1.0))[:, None, :]  # (B, 1, C)
+    b_vec = (b32 * (s32 + 1.0) + t32)[:, None, :]
 
     out = pl.pallas_call(
         functools.partial(
@@ -110,10 +122,8 @@ def _fwd_impl(x, gamma, beta, scale, shift, groups, eps, block_l, interpret):
         grid=(b, 2, n_l),
         in_specs=[
             pl.BlockSpec((1, block_l, c), lambda bi, p, li: (bi, li, 0)),
-            pl.BlockSpec((1, c), lambda bi, p, li: (bi, 0)),
-            pl.BlockSpec((1, c), lambda bi, p, li: (bi, 0)),
-            pl.BlockSpec((1, c), lambda bi, p, li: (bi, 0)),
-            pl.BlockSpec((1, c), lambda bi, p, li: (bi, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, p, li: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, p, li: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_l, c), lambda bi, p, li: (bi, li, 0)),
         out_shape=jax.ShapeDtypeStruct((b, l_pad, c), x.dtype),
@@ -123,8 +133,12 @@ def _fwd_impl(x, gamma, beta, scale, shift, groups, eps, block_l, interpret):
             pltpu.VMEM((1, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # batch rows independent; phase+L sweep carry scratch state
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
-    )(x_in, gamma2, beta2, scale, shift)
+    )(x_in, a_vec, b_vec)
     return out[:, :l]
 
 
