@@ -53,16 +53,21 @@ def make_beta_schedule(name: str, timesteps: int) -> np.ndarray:
     beta_end = scale * 0.02
 
     if name == "linear":
-        return np.linspace(beta_start, beta_end, timesteps, dtype=np.float64)
-    if name == "quadratic":
-        return (
+        betas = np.linspace(beta_start, beta_end, timesteps, dtype=np.float64)
+    elif name == "quadratic":
+        betas = (
             np.linspace(beta_start**0.5, beta_end**0.5, timesteps, dtype=np.float64) ** 2
         )
-    if name == "jsd":
-        return 1.0 / np.linspace(timesteps, 1, timesteps, dtype=np.float64)
-    if name == "sqrt":
-        return np.sqrt(np.linspace(beta_start, beta_end, timesteps, dtype=np.float64))
-    raise ValueError(f"unknown beta schedule {name!r}")
+    elif name == "jsd":
+        betas = 1.0 / np.linspace(timesteps, 1, timesteps, dtype=np.float64)
+    elif name == "sqrt":
+        betas = np.sqrt(np.linspace(beta_start, beta_end, timesteps, dtype=np.float64))
+    else:
+        raise ValueError(f"unknown beta schedule {name!r}")
+    # safety clip: the reference's 1000/T scaling makes beta exceed 1 for
+    # tiny T (NaN alphas); a no-op at production timesteps (max beta 0.02
+    # at T=1000)
+    return np.clip(betas, 0.0, 0.999)
 
 
 def _extract(buf: jnp.ndarray, t: jnp.ndarray, broadcast_ndim: int) -> jnp.ndarray:

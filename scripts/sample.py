@@ -46,9 +46,11 @@ def main() -> None:
     out_path = cfg.get("out", "samples.npy")
     rng = jax.random.PRNGKey(int(cfg.get("sample_seed", 0)))
 
-    # text embedding (frozen tower)
+    # text embedding (frozen tower; output dim must match the CLIP dim)
+    from dalle2_video_tpu.models.clip_text import CLIPTextConfig
+
     tokens = jnp.asarray(tokenize([prompt]))
-    text_enc = CLIPTextEncoder()
+    text_enc = CLIPTextEncoder(CLIPTextConfig(embed_dim=cfg["dim"]))
     k_text, k_gen = jax.random.split(rng)
     openai = cfg["clip"].get("openai_ckpt")
     if openai:

@@ -34,10 +34,33 @@ def main() -> None:
     setup_platform(cfg)
     log = logging.getLogger("train_clip")
 
-    ds = CelebVTextDataset(
-        texts_path=cfg["texts"]["tokenized"],
-        videos_path=cfg["videos"]["preprocessed"],
-    )
+    smoke = bool(cfg.get("smoke", False))
+    if smoke:
+        # synthetic CLIP-stage corpus (tokens + videos), tiny tower
+        import numpy as np
+
+        cfg["video_encoder"] = {"frame_size": 32, "patch_size": 16,
+                                "num_frames": 25, "dim": 32, "depth": 1,
+                                "heads": 2, "dim_head": 8}
+        cfg["clip"]["batch_size"] = 4
+        cfg["clip"]["epochs"] = 2
+        rng_np = np.random.RandomState(0)
+        videos_np = rng_np.rand(16, 25, 32, 32, 3).astype(np.float32)
+        tokens_np = rng_np.randint(1, 1000, (16, 77)).astype(np.int32)
+
+        class _SynthDS:
+            def __len__(self):
+                return 16
+
+            def batch_items(self, idx):
+                return {"videos": videos_np[idx], "texts": tokens_np[idx]}
+
+        ds = _SynthDS()
+    else:
+        ds = CelebVTextDataset(
+            texts_path=cfg["texts"]["tokenized"],
+            videos_path=cfg["videos"]["preprocessed"],
+        )
     splits = split_indices(len(ds), cfg["train_ratio"], cfg["seed"])
     bs = cfg["clip"]["batch_size"]
     train_loader = BatchLoader(ds, bs, splits["train"], shuffle=True, seed=cfg["seed"])
@@ -49,9 +72,16 @@ def main() -> None:
         num_frames=ve["num_frames"], dim=ve["dim"], depth=ve["depth"],
         heads=ve["heads"], dim_head=ve["dim_head"],
     )
+    from dalle2_video_tpu.models.clip_text import CLIPTextConfig
+
+    text_cfg = CLIPTextConfig(embed_dim=ve["dim"])
+    if smoke:
+        text_cfg = CLIPTextConfig(vocab_size=1000, width=32, heads=2, layers=1,
+                                  embed_dim=ve["dim"])
     epochs = cfg["clip"]["epochs"]
     trainer = ClipTrainer(
         vivit_cfg,
+        text_cfg,
         cfg=ClipTrainerConfig(
             lr=cfg["clip"]["lr"],
             lr_scheduler=cfg["clip"]["lr_scheduler"],
