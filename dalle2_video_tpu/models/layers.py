@@ -286,6 +286,31 @@ class JointSpaceTimeAttention(nn.Module):
         return x + out.reshape(b, t, h, w, c)
 
 
+class TemporalAttention(nn.Module):
+    """Factorized temporal attention: per-pixel attention over the frame
+    axis, residual. The reference lists 'factorized temporal attention' as
+    unimplemented future work (reference README.md:82); this provides it for
+    temporal-SR cascades. Cheap: sequence length = num_frames."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+    cosine_sim: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        tokens = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b * h * w, t, c)
+        out = Attention(
+            self.dim, heads=self.heads, dim_head=self.dim_head,
+            cosine_sim=self.cosine_sim, name="attn",
+        )(tokens)
+        out = jnp.transpose(
+            out.reshape(b, h, w, t, c), (0, 3, 1, 2, 4)
+        )
+        return x + out
+
+
 class LinearAttention(nn.Module):
     """Efficient (linear) attention over each frame's spatial tokens, used for
     the `sparse_attn` stage option. NOTE: in the reference, sparse_attn=True

@@ -39,6 +39,7 @@ from dalle2_video_tpu.models.layers import (
     Downsample3D,
     JointSpaceTimeAttention,
     LinearAttention,
+    TemporalAttention,
     NearestUpsample3D,
     PixelShuffleUpsample3D,
     ResnetBlock3D,
@@ -109,6 +110,9 @@ class UNet3DConfig:
     attention_impl: str = "xla"
     # "xla" | "pallas": pallas fuses GroupNorm+FiLM+SiLU (custom VJP)
     groupnorm_impl: str = "xla"
+    # factorized per-pixel temporal attention after each attention site
+    # (reference future work, README.md:82 — needed for temporal SR quality)
+    temporal_attention: bool = False
     # "unet3d" | "temporal_conv" — which denoiser architecture VideoDecoder
     # instantiates for this cascade slot (reference accepts
     # Union[Unet3D, UnetTemporalConv], dalle2_video.py:1335)
@@ -313,6 +317,14 @@ class UNet3D(nn.Module):
         use_remat = cfg.checkpoint_during_training and enable_checkpoint
         Resnet = nn.remat(ResnetBlock3D) if use_remat else ResnetBlock3D
 
+        def maybe_temporal_attn(x, dim_layer: int, name: str):
+            if cfg.temporal_attention:
+                return TemporalAttention(
+                    dim_layer, heads=cfg.attn_heads, dim_head=cfg.attn_dim_head,
+                    cosine_sim=cfg.cosine_sim_self_attn, name=name,
+                )(x)
+            return x
+
         def make_stage_attn(dim_layer: int, layer_self_attn: bool, name: str):
             if layer_self_attn:
                 return JointSpaceTimeAttention(
@@ -392,6 +404,7 @@ class UNet3D(nn.Module):
             attn = make_stage_attn(dim_layer, layer_sa, f"down{ind}_attn")
             if attn is not None:
                 x = attn(x)
+            x = maybe_temporal_attn(x, dim_layer, f"down{ind}_temporal_attn")
             down_hiddens.append(x)
 
             if not is_last and not cfg.memory_efficient:
@@ -420,6 +433,7 @@ class UNet3D(nn.Module):
                 impl=cfg.attention_impl,
                 name="mid_attn",
             )(x)
+            x = maybe_temporal_attn(x, mid_dim, "mid_temporal_attn")
         x = Resnet(
             mid_dim,
             cond_dim=cond_dim,
@@ -470,6 +484,7 @@ class UNet3D(nn.Module):
             attn = make_stage_attn(dim_out, layer_sa, f"up{ind}_attn")
             if attn is not None:
                 x = attn(x)
+            x = maybe_temporal_attn(x, dim_out, f"up{ind}_temporal_attn")
             up_hiddens.append(x)
 
             if not is_last or cfg.memory_efficient:

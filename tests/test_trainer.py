@@ -255,3 +255,21 @@ def test_train_steps_scan_matches_loop(trainer_and_state):
         jax.tree_util.tree_leaves(st_loop.params["unet_0"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sequence_parallel_mqa_matches_local(mesh8):
+    """Token-sharded MQA attention == single-device reference (exact SP)."""
+    from dalle2_video_tpu.parallel.sp_attention import sequence_parallel_mqa
+
+    b, n, h, d = 2, 64, 4, 16  # n divisible by model axis (2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(keys[0], (b, n, h, d))
+    k = jax.random.normal(keys[1], (b, n, d))
+    v = jax.random.normal(keys[2], (b, n, d))
+    scale = d**-0.5
+    sim = jnp.einsum("bnhd,bmd->bhnm", q * scale, k)
+    expected = jnp.einsum("bhnm,bmd->bnhd", jax.nn.softmax(sim, -1), v)
+    got = jax.jit(
+        lambda a, b_, c: sequence_parallel_mqa(a, b_, c, mesh8, sm_scale=scale)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)

@@ -207,3 +207,26 @@ def test_unet_temporal_conv():
     emb = jnp.ones((B, cfg.video_embed_dim))
     loss = dec.loss(params, jax.random.PRNGKey(2), video, video_embed=emb)
     assert np.isfinite(float(loss))
+
+
+def test_temporal_attention_option():
+    """Factorized temporal attention: runs, and makes the output
+    frame-order sensitive even without joint attention."""
+    cfg = tiny_cfg(temporal_attention=True, attend_at_middle=False)
+    model = UNet3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, C))
+    time = jnp.array([10, 10], jnp.int32)
+    emb = jnp.ones((B, cfg.video_embed_dim))
+    params = _derandomize_out_conv(
+        model.init(jax.random.PRNGKey(0), x, time, video_embed=emb)
+    )
+    out = model.apply(params, x, time, video_embed=emb)
+    out_rev = model.apply(params, x[:, ::-1], time, video_embed=emb)
+    assert out.shape == (B, T, H, W, C)
+    # flipping frames must NOT just flip the output (temporal mixing exists
+    # beyond per-frame ops)... attention is permutation-equivariant, so use
+    # a non-permutation change: zero out one frame
+    x2 = x.at[:, 0].set(0.0)
+    out2 = model.apply(params, x2, time, video_embed=emb)
+    # a change in frame 0 must propagate to OTHER frames' outputs
+    assert float(jnp.abs(out[:, 1:] - out2[:, 1:]).max()) > 1e-6
