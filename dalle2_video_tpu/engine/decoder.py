@@ -86,6 +86,9 @@ class VideoDecoderConfig:
     loss_type: str = "l2"
     beta_schedule: Union[None, str, Tuple[str, ...]] = None
     predict_x_start: Union[bool, Tuple[bool, ...]] = False
+    # override: predict x0 exactly on latent-diffusion stages (reference
+    # predict_x_start_for_latent_diffusion, :1466-1470)
+    predict_x_start_for_latent_diffusion: bool = False
     predict_v: Union[bool, Tuple[bool, ...]] = False
     learned_variance: Union[bool, Tuple[bool, ...]] = True
     learned_variance_constrain_frac: bool = False
@@ -140,7 +143,10 @@ class VideoDecoder:
         self.learned_variance = (
             _pad_tuple(_cast_tuple(lv, 1, validate=False) if isinstance(lv, bool) else tuple(lv), n, False)
         )
-        self.predict_x_start = _cast_tuple(cfg.predict_x_start, n)
+        if cfg.predict_x_start_for_latent_diffusion:
+            self.predict_x_start = tuple(v.is_latent for v in self.vaes)
+        else:
+            self.predict_x_start = _cast_tuple(cfg.predict_x_start, n)
         self.predict_v = _cast_tuple(cfg.predict_v, n)
         self.sample_timesteps = _cast_tuple(cfg.sample_timesteps, n)
         self.random_crop_sizes = _cast_tuple(cfg.random_crop_sizes, n)

@@ -55,6 +55,9 @@ class DecoderTrainerConfig:
     # bf16 activations/compute; params and optimizer state stay fp32
     bf16_compute: bool = False
     grad_accum: int = 1
+    # skip the optimizer update when the loss/grads go non-finite (production
+    # guard: one bad batch cannot poison the params)
+    skip_nonfinite: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -214,6 +217,18 @@ class DecoderTrainer:
             grads, state.opt_states[i], unet_params
         )
         new_unet_params = optax.apply_updates(unet_params, updates)
+
+        if cfg.skip_nonfinite:
+            # keep old params/opt-state on a non-finite step (loss is still
+            # reported so the logger surfaces the event)
+            grads_ok = jnp.isfinite(loss)
+            for leaf in jax.tree_util.tree_leaves(grads):
+                grads_ok = jnp.logical_and(grads_ok, jnp.all(jnp.isfinite(leaf)))
+            pick = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(grads_ok, a, b), new, old
+            )
+            new_unet_params = pick(new_unet_params, unet_params)
+            new_opt = pick(new_opt, state.opt_states[i])
 
         new_params = dict(state.params)
         new_params[f"unet_{i}"] = new_unet_params

@@ -273,3 +273,23 @@ def test_sequence_parallel_mqa_matches_local(mesh8):
         lambda a, b_, c: sequence_parallel_mqa(a, b_, c, mesh8, sm_scale=scale)
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_nonfinite_step_skipped():
+    """A NaN batch must not move the params (skip_nonfinite guard)."""
+    dec = tiny_decoder()
+    trainer = DecoderTrainer(dec, DecoderTrainerConfig(use_ema=False))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    video, emb = batch()
+    bad_video = video.at[0, 0, 0, 0, 0].set(jnp.nan)
+    state2, loss = trainer.train_step(
+        state, jax.random.PRNGKey(1), bad_video, video_embed=emb
+    )
+    assert not np.isfinite(float(loss))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state2.params["unet_0"]),
+        jax.tree_util.tree_leaves(state.params["unet_0"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # step counter still advances (the batch was consumed)
+    assert int(state2.steps[0]) == 1
