@@ -43,7 +43,9 @@ def main() -> None:
         num_frames=ve["num_frames"], dim=ve["dim"], depth=ve["depth"],
         heads=ve["heads"], dim_head=ve["dim_head"],
     )
-    trainer = ClipTrainer(vivit_cfg)
+    from dalle2_video_tpu.models.clip_text import CLIPTextConfig
+
+    trainer = ClipTrainer(vivit_cfg, CLIPTextConfig(embed_dim=ve["dim"]))
     rng = jax.random.PRNGKey(cfg["seed"])
 
     sample = next(iter(BatchLoader(ds, 1, shuffle=False)))
