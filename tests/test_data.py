@@ -181,3 +181,29 @@ def test_preprocess_end_to_end(tmp_path):
     )
     batch = ds.batch_items(np.array([0, 2]))
     assert batch["videos"].shape == (2, n_frames, size, size, 3)
+
+
+def test_grain_loader(h5_store):
+    """Grain pipeline: sharded, seeded, drop-remainder dict batches."""
+    pytest.importorskip("grain")
+    from dalle2_video_tpu.data.grain_pipeline import make_grain_loader
+
+    ds = CelebVTextDataset(
+        video_embeds_path=h5_store["embeds"], videos_path=h5_store["videos"]
+    )
+    loader = make_grain_loader(
+        ds, batch_size=4, shuffle=True, seed=3, num_epochs=1, worker_count=0
+    )
+    batches = list(loader)
+    assert len(batches) == 2  # 10 items, bs 4, drop remainder
+    b = batches[0]
+    assert b["videos"].shape == (4, 4, 8, 8, 3)
+    assert b["video_embeds"].shape == (4, 16)
+    # sharding yields disjoint halves
+    l0 = make_grain_loader(ds, 2, shuffle=False, num_epochs=1, worker_count=0,
+                           shard_index=0, num_shards=2)
+    l1 = make_grain_loader(ds, 2, shuffle=False, num_epochs=1, worker_count=0,
+                           shard_index=1, num_shards=2)
+    e0 = np.concatenate([x["video_embeds"][:, 0] for x in l0])
+    e1 = np.concatenate([x["video_embeds"][:, 0] for x in l1])
+    assert not np.isin(e0, e1).any()
