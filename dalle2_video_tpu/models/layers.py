@@ -155,6 +155,7 @@ class CrossAttention(nn.Module):
     dim_head: int = 64
     cosine_sim: bool = False
     cosine_sim_scale: float = 16.0
+    impl: str = "xla"  # "xla" | "flash" (fused Pallas kernel, fwd-only)
 
     @nn.compact
     def __call__(self, x, context, mask: Optional[jnp.ndarray] = None):
@@ -185,16 +186,25 @@ class CrossAttention(nn.Module):
         else:
             scale = d**-0.5
 
-        # context-major layout: the context axis m is tiny (6-8 cond tokens),
-        # so keeping it off the 128-lane minor axis avoids an ~9x padded
-        # (b,h,n,m) sim tensor (the B=32 OOM driver — docs/PERF.md #2);
-        # n stays minor and tiles perfectly
-        sim = jnp.einsum("bnhd,bmhd->bmhn", q * scale, k)
-        if mask is not None:
-            mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
-            sim = jnp.where(mask[:, :, None, None], sim, jnp.finfo(sim.dtype).min)
-        attn = jax.nn.softmax(sim, axis=1)
-        out = jnp.einsum("bmhn,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        if self.impl == "flash" and mask is None:
+            from dalle2_video_tpu.ops.pallas.cross_attention import (
+                cross_attention,
+            )
+
+            out = cross_attention(q, k, v, sm_scale=scale).reshape(b, n, inner)
+        else:
+            # context-major layout: the context axis m is tiny (6-8 cond
+            # tokens), so keeping it off the 128-lane minor axis avoids an
+            # ~9x padded (b,h,n,m) sim tensor (the B=32 OOM driver —
+            # docs/PERF.md #2); n stays minor and tiles perfectly
+            sim = jnp.einsum("bnhd,bmhd->bmhn", q * scale, k)
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+                sim = jnp.where(
+                    mask[:, :, None, None], sim, jnp.finfo(sim.dtype).min
+                )
+            attn = jax.nn.softmax(sim, axis=1)
+            out = jnp.einsum("bmhn,bmhd->bnhd", attn, v).reshape(b, n, inner)
         out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, name="to_out")(out)
         return ScaleOnlyLayerNorm(name="out_norm")(out)
 
@@ -352,6 +362,7 @@ class ResnetBlock3D(nn.Module):
     groups: int = 8
     cosine_sim_cross_attn: bool = False
     norm_impl: str = "xla"
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, time_emb=None, cond=None):
@@ -373,6 +384,7 @@ class ResnetBlock3D(nn.Module):
                     self.dim_out,
                     context_dim=self.cond_dim,
                     cosine_sim=self.cosine_sim_cross_attn,
+                    impl=self.attn_impl,
                     name="cross_attn",
                 )(tokens, cond)
                 + tokens

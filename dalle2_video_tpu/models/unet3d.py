@@ -363,6 +363,7 @@ class UNet3D(nn.Module):
                 time_cond_dim=time_cond_dim,
                 groups=groups_per[0],
                 norm_impl=cfg.groupnorm_impl,
+                attn_impl=cfg.attention_impl,
                 name="init_resnet_block",
             )(x, t)
 
@@ -386,6 +387,7 @@ class UNet3D(nn.Module):
                 time_cond_dim=time_cond_dim,
                 groups=groups,
                 norm_impl=cfg.groupnorm_impl,
+                attn_impl=cfg.attention_impl,
                 name=f"down{ind}_init_block",
             )(x, t)
 
@@ -397,6 +399,7 @@ class UNet3D(nn.Module):
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                     norm_impl=cfg.groupnorm_impl,
+                attn_impl=cfg.attention_impl,
                     name=f"down{ind}_block{j}",
                 )(x, t, c)
                 down_hiddens.append(x)
@@ -421,6 +424,7 @@ class UNet3D(nn.Module):
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
             norm_impl=cfg.groupnorm_impl,
+                attn_impl=cfg.attention_impl,
             name="mid_block1",
         )(x, t, mid_c)
         if cfg.attend_at_middle:
@@ -441,6 +445,7 @@ class UNet3D(nn.Module):
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
             norm_impl=cfg.groupnorm_impl,
+                attn_impl=cfg.attention_impl,
             name="mid_block2",
         )(x, t, mid_c)
 
@@ -466,6 +471,7 @@ class UNet3D(nn.Module):
                 groups=groups,
                 cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                 norm_impl=cfg.groupnorm_impl,
+                attn_impl=cfg.attention_impl,
                 name=f"up{ind}_init_block",
             )(x, t, c)
 
@@ -478,6 +484,7 @@ class UNet3D(nn.Module):
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                     norm_impl=cfg.groupnorm_impl,
+                attn_impl=cfg.attention_impl,
                     name=f"up{ind}_block{j}",
                 )(x, t, c)
 
@@ -500,6 +507,7 @@ class UNet3D(nn.Module):
             time_cond_dim=time_cond_dim,
             groups=groups_per[0],
             norm_impl=cfg.groupnorm_impl,
+                attn_impl=cfg.attention_impl,
             name="final_resnet_block",
         )(x, t)
         if cfg.lowres_cond:

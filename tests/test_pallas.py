@@ -157,3 +157,42 @@ def test_block3d_pallas_matches_xla():
     ):
         out_pl = pl_block.apply(params, x, ss)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla), atol=3e-5)
+
+
+def test_fused_cross_attention_matches_xla():
+    from dalle2_video_tpu.ops.pallas.cross_attention import cross_attention
+
+    b, n, h, d, m = 2, 100, 4, 16, 7
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(keys[0], (b, n, h, d))
+    k = jax.random.normal(keys[1], (b, m, h, d))
+    v = jax.random.normal(keys[2], (b, m, h, d))
+    scale = d**-0.5
+    sim = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    expected = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(sim, -1), v)
+    got = cross_attention(q, k, v, sm_scale=scale, block_n=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_cross_attention_module_flash_matches_xla():
+    """CrossAttention(impl='flash') == impl='xla' on the same params."""
+    import unittest.mock as mock
+
+    from dalle2_video_tpu.models.layers import CrossAttention
+    from dalle2_video_tpu.ops.pallas import cross_attention as ca_mod
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 60, 24))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    m_x = CrossAttention(24, context_dim=16, heads=2, dim_head=8, impl="xla")
+    m_f = CrossAttention(24, context_dim=16, heads=2, dim_head=8, impl="flash")
+    params = m_x.init(jax.random.PRNGKey(2), x, ctx)
+    out_x = m_x.apply(params, x, ctx)
+    orig = ca_mod.fused_cross_attention
+    with mock.patch.object(
+        ca_mod, "fused_cross_attention",
+        lambda q, k, v, sm_scale, block_n=1024, interpret=False: orig(
+            q, k, v, sm_scale=sm_scale, block_n=block_n, interpret=True
+        ),
+    ):
+        out_f = m_f.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=3e-5)
