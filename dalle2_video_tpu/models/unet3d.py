@@ -110,6 +110,11 @@ class UNet3DConfig:
     attention_impl: str = "xla"
     # "xla" | "pallas": pallas fuses GroupNorm+FiLM+SiLU (custom VJP)
     groupnorm_impl: str = "xla"
+    # "xla" | "flash": fused Pallas cross-attention. Separate from
+    # attention_impl because it measured SLOWER than the context-major XLA
+    # path on v5e (17.7 vs 30 sampling steps/s — it breaks projection-chain
+    # fusion; docs/PERF.md); opt-in only.
+    cross_attention_impl: str = "xla"
     # factorized per-pixel temporal attention after each attention site
     # (reference future work, README.md:82 — needed for temporal SR quality)
     temporal_attention: bool = False
@@ -363,7 +368,7 @@ class UNet3D(nn.Module):
                 time_cond_dim=time_cond_dim,
                 groups=groups_per[0],
                 norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.attention_impl,
+                attn_impl=cfg.cross_attention_impl,
                 name="init_resnet_block",
             )(x, t)
 
@@ -387,7 +392,7 @@ class UNet3D(nn.Module):
                 time_cond_dim=time_cond_dim,
                 groups=groups,
                 norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.attention_impl,
+                attn_impl=cfg.cross_attention_impl,
                 name=f"down{ind}_init_block",
             )(x, t)
 
@@ -399,7 +404,7 @@ class UNet3D(nn.Module):
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                     norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.attention_impl,
+                attn_impl=cfg.cross_attention_impl,
                     name=f"down{ind}_block{j}",
                 )(x, t, c)
                 down_hiddens.append(x)
@@ -424,7 +429,7 @@ class UNet3D(nn.Module):
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
             norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.attention_impl,
+                attn_impl=cfg.cross_attention_impl,
             name="mid_block1",
         )(x, t, mid_c)
         if cfg.attend_at_middle:
@@ -445,7 +450,7 @@ class UNet3D(nn.Module):
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
             norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.attention_impl,
+                attn_impl=cfg.cross_attention_impl,
             name="mid_block2",
         )(x, t, mid_c)
 
@@ -471,7 +476,7 @@ class UNet3D(nn.Module):
                 groups=groups,
                 cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                 norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.attention_impl,
+                attn_impl=cfg.cross_attention_impl,
                 name=f"up{ind}_init_block",
             )(x, t, c)
 
@@ -484,7 +489,7 @@ class UNet3D(nn.Module):
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                     norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.attention_impl,
+                attn_impl=cfg.cross_attention_impl,
                     name=f"up{ind}_block{j}",
                 )(x, t, c)
 
@@ -507,7 +512,7 @@ class UNet3D(nn.Module):
             time_cond_dim=time_cond_dim,
             groups=groups_per[0],
             norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.attention_impl,
+                attn_impl=cfg.cross_attention_impl,
             name="final_resnet_block",
         )(x, t)
         if cfg.lowres_cond:
