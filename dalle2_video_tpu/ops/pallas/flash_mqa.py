@@ -98,9 +98,94 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret):
+    return _flash_mqa_fwd_only(
+        q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+
+
+def _flash_mqa_vjp_fwd(q, k, v, sm_scale, block_q, block_k, interpret):
+    out = _flash_mqa_fwd_only(
+        q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+    return out, (q, k, v)
+
+
+def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
+    """Memory-bounded blockwise backward (lax.scan over query chunks).
+
+    Never materializes the full (n_q, n_kv) similarity: each scan step
+    recomputes one q-chunk's attention row block, forms dS locally, emits
+    that chunk's dQ and accumulates dK/dV. Peak extra memory is one
+    (block, n_kv) tile — this is what makes flash attention TRAINABLE at
+    the 23k-token bottleneck where XLA's attention backward cannot exist
+    (68 GB sim). Standard flash-backward math:
+        D  = rowsum(dO * O);  dS = P * (dP - D)
+        dQ = scale * dS K;  dK = scale * dS^T Q;  dV = P^T dO
+    """
+    q, k, v = residuals
+    b, n_q, d = q.shape
+    n_kv = k.shape[1]
+    chunk = max(block_q, 512)
+    n_pad = _round_up(n_q, chunk)
+    pad = n_pad - n_q
+
+    qf = jnp.pad(q, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
+    gf = jnp.pad(g, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # mask padded q rows out of the parameter grads
+    row_valid = (jnp.arange(n_pad) < n_q).astype(jnp.float32)[None, :, None]
+    gf = gf * row_valid
+
+    qs = qf.reshape(b, n_pad // chunk, chunk, d).transpose(1, 0, 2, 3)
+    gs = gf.reshape(b, n_pad // chunk, chunk, d).transpose(1, 0, 2, 3)
+
+    def step(carry, xs):
+        dk_acc, dv_acc = carry
+        q_c, g_c = xs  # (b, chunk, d)
+        s = jnp.einsum("bcd,bmd->bcm", q_c, kf) * sm_scale
+        p = jax.nn.softmax(s, axis=-1)
+        dp = jnp.einsum("bcd,bmd->bcm", g_c, vf)
+        dd = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - dd)
+        dq_c = jnp.einsum("bcm,bmd->bcd", ds, kf) * sm_scale
+        dk_acc = dk_acc + jnp.einsum("bcm,bcd->bmd", ds, q_c) * sm_scale
+        dv_acc = dv_acc + jnp.einsum("bcm,bcd->bmd", p, g_c)
+        return (dk_acc, dv_acc), dq_c
+
+    zeros = jnp.zeros((b, n_kv, d), jnp.float32)
+    (dk, dv), dqs = jax.lax.scan(step, (zeros, zeros), (qs, gs))
+    dq = dqs.transpose(1, 0, 2, 3).reshape(b, n_pad, d)[:, :n_q]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_mqa_diff.defvjp(_flash_mqa_vjp_fwd, _flash_mqa_vjp_bwd)
+
+
+def flash_mqa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: float = 1.0,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable flash MQA: Pallas streaming forward + blockwise scan
+    backward (see _flash_mqa_vjp_bwd)."""
+    return _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret)
+
+
+@functools.partial(
     jax.jit, static_argnames=("sm_scale", "block_q", "block_k", "interpret")
 )
-def flash_mqa(
+def _flash_mqa_fwd_only(
     q: jnp.ndarray,  # (b, n_q, d)   n_q = q_heads * seq (heads folded in)
     k: jnp.ndarray,  # (b, n_kv, d)  single kv head
     v: jnp.ndarray,  # (b, n_kv, d)

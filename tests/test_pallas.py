@@ -196,3 +196,28 @@ def test_cross_attention_module_flash_matches_xla():
     ):
         out_f = m_f.apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=3e-5)
+
+
+def test_flash_mqa_gradients_match_xla():
+    """Blockwise flash backward == autodiff through XLA attention."""
+    b, n, m, d = 2, 70, 50, 16  # unaligned sizes exercise padding/masking
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(keys[0], (b, n, d))
+    k = jax.random.normal(keys[1], (b, m, d))
+    v = jax.random.normal(keys[2], (b, m, d))
+    scale = d**-0.5
+
+    def loss_flash(q_, k_, v_):
+        out = flash_mqa(q_, k_, v_, sm_scale=scale, block_q=32, block_k=32,
+                        interpret=True)
+        return jnp.sum(out**2)
+
+    def loss_xla(q_, k_, v_):
+        sim = jnp.einsum("bnd,bmd->bnm", q_ * scale, k_)
+        out = jax.nn.softmax(sim, -1) @ v_
+        return jnp.sum(out**2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
