@@ -55,7 +55,11 @@ from dalle2_video_tpu.engine.conditioner import (
 )
 from dalle2_video_tpu.models.unet3d import UNet3D, UNet3DConfig
 from dalle2_video_tpu.models.vae import NullVAE
-from dalle2_video_tpu.ops.video import resize_video, resize_video_time
+from dalle2_video_tpu.ops.video import (
+    paired_random_crop,
+    resize_video,
+    resize_video_time,
+)
 
 
 def _cast_tuple(v, length: int, validate: bool = True):
@@ -411,19 +415,11 @@ class VideoDecoder:
 
         crop = self.random_crop_sizes[i]
         if crop is not None:
-            # shared random crop across video + lowres cond (reference
-            # :2260-2265 via kornia same-params trick)
-            kh, kw = jax.random.split(k_crop)
-            oh = jax.random.randint(kh, (), 0, target_size - crop + 1)
-            ow = jax.random.randint(kw, (), 0, target_size - crop + 1)
-            take = lambda v: jax.lax.dynamic_slice(
-                v,
-                (0, 0, oh, ow, 0),
-                (v.shape[0], v.shape[1], crop, crop, v.shape[4]),
+            # per-sample offsets shared across the (video, lowres) pair —
+            # kornia same-params trick (reference :2260-2265)
+            video, lowres_cond_video = paired_random_crop(
+                k_crop, video, crop, lowres_cond_video
             )
-            video = take(video)
-            if lowres_cond_video is not None:
-                lowres_cond_video = take(lowres_cond_video)
 
         vae_params = params.get(f"vae_{i}")
         video = vae.encode(vae_params, video)
@@ -692,8 +688,10 @@ class VideoDecoder:
         b = shape[0]
         total = sched.num_timesteps
 
-        # static time pair schedule (reference :1780-1785)
-        times = np.linspace(0.0, total, timesteps + 2)[:-1].astype(int)
+        # static time pair schedule (reference :1780-1785), terminating at
+        # t_next = -1 <=> alpha_bar = 1 so the final step returns x0 exactly
+        # (proper DDIM; mirrors models/prior.py sample_loop)
+        times = np.linspace(-1, total - 1, timesteps + 1).astype(int)
         times = list(reversed(times.tolist()))
         pairs = [(a, bb) for a, bb in zip(times[:-1], times[1:]) if a > bb]
         t_nows = jnp.array([p[0] for p in pairs], jnp.int32)
@@ -707,7 +705,8 @@ class VideoDecoder:
             cond_kwargs = dict(cond_kwargs)
             cond_kwargs["lowres_cond_video"] = self._normalize(lowres)
 
-        acp = sched.alphas_cumprod
+        # acp_pad[k+1] = alpha_bar_k with acp_pad[0] = alpha_bar_{-1} = 1
+        acp_pad = jnp.concatenate([jnp.ones((1,)), sched.alphas_cumprod])
         clip_denoised = self.config.clip_denoised and not is_latent
 
         def step(carry, tpair):
@@ -731,12 +730,12 @@ class VideoDecoder:
                 x_start = self.dynamic_threshold(x_start)
             pred_noise = sched.predict_noise_from_start(x, t, x_start)
 
-            alpha = acp[t_now]
-            alpha_next = acp[t_next]
+            alpha = acp_pad[t_now + 1]
+            alpha_next = acp_pad[t_next + 1]
             c1 = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
             c2 = jnp.sqrt(jnp.maximum((1 - alpha_next) - c1**2, 0.0))
             noise = jax.random.normal(k_noise, x.shape, x.dtype)
-            not_last = (t_next > 0).astype(x.dtype)
+            not_last = (t_next >= 0).astype(x.dtype)
             x_next = (
                 x_start * jnp.sqrt(alpha_next) + c1 * noise * not_last + c2 * pred_noise
             )
@@ -832,12 +831,38 @@ class VideoDecoder:
         start_at_unet_number: int = 1,
         stop_at_unet_number: Optional[int] = None,
         video: Optional[jnp.ndarray] = None,
+        max_batch_size: Optional[int] = None,
     ) -> jnp.ndarray:
-        """Full cascade sampling (host-side loop over jittable stages)."""
+        """Full cascade sampling (host-side loop over jittable stages).
+
+        max_batch_size chunks the batch to bound peak HBM (reference
+        decoder_sample_in_chunks / sample_in_chunks wiring,
+        trainer.py:278,308); each chunk reuses the same compiled stages."""
         cfg = self.config
         assert cfg.unconditional or video_embed is not None
         if not cfg.unconditional:
             batch_size = video_embed.shape[0]
+
+        if max_batch_size is not None and batch_size > max_batch_size:
+            from dalle2_video_tpu.utils.chunked import split_batch
+
+            spans = list(split_batch(batch_size, max_batch_size))
+            keys = jax.random.split(rng, len(spans))
+            take = lambda a, s, n: None if a is None else a[s : s + n]
+            outs = [
+                self.sample(
+                    params, k,
+                    video_embed=take(video_embed, s, sz),
+                    text_encodings=take(text_encodings, s, sz),
+                    batch_size=sz,
+                    cond_scale=cond_scale,
+                    start_at_unet_number=start_at_unet_number,
+                    stop_at_unet_number=stop_at_unet_number,
+                    video=take(video, s, sz),
+                )
+                for k, (s, sz) in zip(keys, spans)
+            ]
+            return jnp.concatenate(outs, axis=0)
         assert not (self.condition_on_text_encodings and text_encodings is None)
         assert not (not self.condition_on_text_encodings and text_encodings is not None)
 

@@ -273,11 +273,13 @@ class DiffusionPrior:
         text_encodings: Optional[jnp.ndarray] = None,
         cond_scale: float = 1.0,
     ) -> jnp.ndarray:
-        """DDIM (sample_timesteps) or full ancestral loop in embed space."""
+        """Deterministic DDIM (eta=0) loop in embed space; `sample_timesteps`
+        selects the step count (defaults to the full T, still eta=0 — the
+        reference's DiffusionPrior exposes no eta knob either)."""
         cfg = self.config
         sched = self.schedule
         b, d = text_embed.shape
-        k_init, k_loop = jax.random.split(rng)
+        k_init, _ = jax.random.split(rng)
         x = jax.random.normal(k_init, (b, d))
 
         steps = cfg.sample_timesteps or sched.num_timesteps
@@ -290,9 +292,8 @@ class DiffusionPrior:
         acp = jnp.concatenate([jnp.ones((1,)), sched.alphas_cumprod])  # acp[-1]=1 at idx 0
 
         def step(carry, tp):
-            x, x0_prev, key = carry
+            x, x0_prev = carry
             tn, tnx = tp
-            key, kn = jax.random.split(key)
             tvec = jnp.full((b,), tn, jnp.int32)
             sc = x0_prev if cfg.network.self_cond else None
             x0 = self._pred_x0(
@@ -300,14 +301,13 @@ class DiffusionPrior:
             )
             eps = sched.predict_noise_from_start(x, tvec, x0)
             a_next = acp[tnx + 1]
-            noise = jax.random.normal(kn, x.shape)
-            not_last = (tnx >= 0).astype(x.dtype)
-            # eta=0 DDIM step in embed space
+            # eta=0 DDIM step in embed space; terminal tnx=-1 hits acp[0]=1
+            # so the loop returns x0 exactly
             x_next = x0 * jnp.sqrt(a_next) + jnp.sqrt(1.0 - a_next) * eps
-            return (x_next, x0, key), None
+            return (x_next, x0), None
 
-        (x, _, _), _ = jax.lax.scan(
-            step, (x, jnp.zeros_like(x), k_loop), (t_now, t_next)
+        (x, _), _ = jax.lax.scan(
+            step, (x, jnp.zeros_like(x)), (t_now, t_next)
         )
         return x / self.embed_scale
 

@@ -374,7 +374,6 @@ class UNet3D(nn.Module):
 
         # --- down path (reference :487-561, :903-917) -------------------- #
         down_hiddens = []
-        skip_dims = []
         for ind, ((dim_in, dim_out), groups, n_blocks, layer_sa) in enumerate(
             zip(in_out, groups_per, nblocks_per, self_attn)
         ):
@@ -382,7 +381,6 @@ class UNet3D(nn.Module):
             is_last = ind >= num_stages - 1
             layer_cond_dim = cond_dim if not is_first else None
             dim_layer = dim_out if cfg.memory_efficient else dim_in
-            skip_dims.append(dim_layer)
 
             if cfg.memory_efficient:
                 x = make_downsample(dim_out, name=f"down{ind}_pre")(x)
@@ -404,7 +402,7 @@ class UNet3D(nn.Module):
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                     norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.cross_attention_impl,
+                    attn_impl=cfg.cross_attention_impl,
                     name=f"down{ind}_block{j}",
                 )(x, t, c)
                 down_hiddens.append(x)
@@ -429,7 +427,7 @@ class UNet3D(nn.Module):
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
             norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.cross_attention_impl,
+            attn_impl=cfg.cross_attention_impl,
             name="mid_block1",
         )(x, t, mid_c)
         if cfg.attend_at_middle:
@@ -450,7 +448,7 @@ class UNet3D(nn.Module):
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
             norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.cross_attention_impl,
+            attn_impl=cfg.cross_attention_impl,
             name="mid_block2",
         )(x, t, mid_c)
 
@@ -466,7 +464,6 @@ class UNet3D(nn.Module):
         ):
             is_last = ind >= num_stages - 1
             layer_cond_dim = cond_dim if not is_last else None
-            skip_dim = skip_dims.pop()
 
             x = jnp.concatenate([x, down_hiddens.pop() * skip_scale], axis=-1)
             x = Resnet(
@@ -489,7 +486,7 @@ class UNet3D(nn.Module):
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                     norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.cross_attention_impl,
+                    attn_impl=cfg.cross_attention_impl,
                     name=f"up{ind}_block{j}",
                 )(x, t, c)
 
@@ -512,7 +509,7 @@ class UNet3D(nn.Module):
             time_cond_dim=time_cond_dim,
             groups=groups_per[0],
             norm_impl=cfg.groupnorm_impl,
-                attn_impl=cfg.cross_attention_impl,
+            attn_impl=cfg.cross_attention_impl,
             name="final_resnet_block",
         )(x, t)
         if cfg.lowres_cond:

@@ -56,7 +56,3 @@ class UnetTemporalConv(nn.Module):
         out = UNet3D(spatial_cfg, name="unet2d")(x, time, **kwargs)
         # zero-init mixer: identity at init, learns temporal coherence
         return out + TemporalConv(out.shape[-1], name="temporal_conv")(out)
-
-
-def unet_temporal_conv_factory(cfg: UNet3DConfig) -> UnetTemporalConv:
-    return UnetTemporalConv(cfg)

@@ -143,3 +143,28 @@ def pixel_shuffle_spatial(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     x = x.reshape(b, t, h, w, c, f, f)
     x = jnp.transpose(x, (0, 1, 2, 5, 3, 6, 4))
     return x.reshape(b, t, h * f, w * f, c)
+
+
+def paired_random_crop(
+    key: jax.Array,
+    video: jnp.ndarray,
+    crop: int,
+    lowres: jnp.ndarray = None,
+):
+    """Per-SAMPLE random spatial crop, with the same offsets applied to the
+    paired lowres-conditioning video (kornia RandomCrop same-params trick,
+    reference dalle2_video.py:2260-2265: each batch element draws its own
+    (oh, ow), reused on the pair). Layout (B, T, H, W, C)."""
+    b, _, h, w, _ = video.shape
+    kh, kw = jax.random.split(key)
+    oh = jax.random.randint(kh, (b,), 0, h - crop + 1)
+    ow = jax.random.randint(kw, (b,), 0, w - crop + 1)
+
+    def take(v):
+        return jax.vmap(
+            lambda vi, ohi, owi: jax.lax.dynamic_slice(
+                vi, (0, ohi, owi, 0), (vi.shape[0], crop, crop, vi.shape[3])
+            )
+        )(v, oh, ow)
+
+    return take(video), (None if lowres is None else take(lowres))

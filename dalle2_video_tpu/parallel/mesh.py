@@ -49,6 +49,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the leading axis on `data`."""
+    """Device-put a host batch pytree with the leading axis on `data`.
+
+    Multi-host aware: when more than one process participates, each host
+    passes its PROCESS-LOCAL slice of the global batch (from a loader
+    sharded with shard_index=jax.process_index()) and this assembles the
+    global jax.Array across hosts (DCN never carries the batch data)."""
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def maybe_init_distributed(enabled: bool = False) -> None:
+    """Guarded jax.distributed.initialize for multi-host runs (SURVEY §2d
+    DCN row). No-op unless explicitly enabled — single-host runs (and this
+    environment's single-chip tunnel) must not attempt coordination."""
+    if not enabled:
+        return
+    if jax.process_count() > 1:
+        return  # already initialized
+    jax.distributed.initialize()

@@ -132,13 +132,17 @@ def make_sharded_train_step(
     with_embed: bool = True,
     with_text: bool = False,
     zero1: bool = True,
-    donate_state: bool = True,
+    donate_state: bool = False,
 ):
     """Compile one data-parallel train step over the mesh.
 
     Returns step(state, rng, video[, video_embed][, text_encodings])
     -> (state, loss). Batch arrays must be sharded P('data') on axis 0
     (use parallel.mesh.shard_batch).
+
+    donate_state defaults to False: buffer donation crashes the axon TPU
+    runtime with INVALID_ARGUMENT (docs/PERF.md) — CPU-mesh users may opt in
+    to save the state copy.
     """
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
@@ -161,6 +165,45 @@ def make_sharded_train_step(
         video_embed = conds[0] if with_embed else None
         text = (conds[1] if with_embed else conds[0]) if with_text else None
         return step(state, rng, video, video_embed, text)
+
+    return jax.jit(
+        wrapped,
+        in_shardings=tuple(in_shardings),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def make_sharded_train_steps_scan(
+    trainer: DecoderTrainer,
+    mesh: Mesh,
+    unet_number: int = 1,
+    *,
+    with_embed: bool = True,
+    with_text: bool = False,
+    donate_state: bool = False,
+):
+    """K optimizer steps fused into one compiled dispatch over the mesh
+    (trainer.train_steps_scan). Batch arrays are (K, B, ...) with B sharded
+    P('data') on axis 1. Amortizes the per-dispatch tunnel overhead
+    (docs/PERF.md #5); K is baked into the compiled shape."""
+    batch_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def wrapped(state, rng, videos, *conds):
+        video_embeds = conds[0] if with_embed else None
+        text = (conds[1] if with_embed else conds[0]) if with_text else None
+        return trainer.train_steps_scan(
+            state, rng, videos,
+            video_embeds=video_embeds,
+            text_encodings=text,
+            unet_number=unet_number,
+        )
+
+    in_shardings: list = [None, repl, batch_sh]
+    if with_embed:
+        in_shardings.append(batch_sh)
+    if with_text:
+        in_shardings.append(batch_sh)
 
     return jax.jit(
         wrapped,

@@ -186,25 +186,29 @@ class DecoderTrainer:
             txts = reshape(text_encodings)
             keys = jax.random.split(rng, a)
 
+            # fixed-arity xs: optional conds ride as dummy zeros so the scan
+            # body never has to guess positional indices (text-only
+            # conditioning previously read txt from the wrong slot)
+            dummy = jnp.zeros((a,), video.dtype)
+            have_embs = embs is not None
+            have_txts = txts is not None
+
             def accum(carry, xs):
                 g_acc, l_acc = carry
-                key, vid = xs[0], xs[1]
-                emb = xs[2] if embs is not None else None
-                txt = xs[3] if txts is not None else None
+                key, vid, emb, txt = xs
+                emb = emb if have_embs else None
+                txt = txt if have_txts else None
                 l, g = jax.value_and_grad(loss_for_params)(unet_params, key, vid, emb, txt)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 return (g_acc, l_acc + l), None
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, unet_params)
-            xs = [keys, vids] + ([embs] if embs is not None else []) + (
-                [txts] if txts is not None else []
+            xs_t = (
+                keys,
+                vids,
+                embs if have_embs else dummy,
+                txts if have_txts else dummy,
             )
-            # normalize xs tuple layout: always (keys, vids, embs?, txts?)
-            xs_t = (keys, vids)
-            if embs is not None:
-                xs_t = xs_t + (embs,)
-            if txts is not None:
-                xs_t = xs_t + (txts,)
             (grads, loss_sum), _ = jax.lax.scan(accum, (zeros, 0.0), xs_t)
             grads = jax.tree_util.tree_map(lambda g: g / a, grads)
             loss = loss_sum / a
@@ -267,26 +271,26 @@ class DecoderTrainer:
         TPU tunnel; docs/PERF.md #5). Returns (state, per-step losses (K,))."""
         k = videos.shape[0]
         keys = jax.random.split(rng, k)
+        dummy = jnp.zeros((k,), videos.dtype)
+        have_embs = video_embeds is not None
+        have_txts = text_encodings is not None
 
         def body(st, xs):
-            if text_encodings is not None and video_embeds is not None:
-                key, vid, emb, txt = xs
-            elif video_embeds is not None:
-                key, vid, emb = xs
-                txt = None
-            else:
-                (key, vid), emb, txt = xs, None, None
+            key, vid, emb, txt = xs
             st, loss = self.train_step(
                 st, key, vid,
-                video_embed=emb, text_encodings=txt, unet_number=unet_number,
+                video_embed=emb if have_embs else None,
+                text_encodings=txt if have_txts else None,
+                unet_number=unet_number,
             )
             return st, loss
 
-        xs: Tuple = (keys, videos)
-        if video_embeds is not None:
-            xs = xs + (video_embeds,)
-        if text_encodings is not None:
-            xs = xs + (text_encodings,)
+        xs = (
+            keys,
+            videos,
+            video_embeds if have_embs else dummy,
+            text_encodings if have_txts else dummy,
+        )
         return jax.lax.scan(body, state, xs)
 
     # ------------------------------------------------------------------ #
@@ -300,10 +304,21 @@ class DecoderTrainer:
         text_encodings=None,
         unet_number: int = 1,
     ) -> jnp.ndarray:
+        """Validation loss under the SAME precision policy as training, so
+        best-checkpoint selection and train/val curves are like-for-like."""
+        params = state.params
+        if self.cfg.bf16_compute:
+            i = unet_number - 1
+            params = dict(params)
+            params[f"unet_{i}"] = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+                params[f"unet_{i}"],
+            )
         return self.decoder.loss(
-            state.params, rng, video,
+            params, rng, video,
             video_embed=video_embed, text_encodings=text_encodings,
             unet_number=unet_number,
+            compute_dtype=jnp.bfloat16 if self.cfg.bf16_compute else None,
         )
 
     # ------------------------------------------------------------------ #

@@ -109,13 +109,20 @@ def main() -> None:
     best_loss = float("inf")
 
     for epoch in range(epochs):
+        # epoch-MEAN metrics (reference logs epoch means, train_clip.py:172-191)
+        train_metrics = []
         for batch in train_loader:
             state, metrics = train_step(
                 state, text_params,
                 jnp.asarray(batch["videos"]), jnp.asarray(batch["texts"]),
             )
-        mlog.log({f"train/{k}": v for k, v in metrics.items()},
-                 step=int(state.step))
+            train_metrics.append({k: float(v) for k, v in metrics.items()})
+        if train_metrics:
+            mlog.log(
+                {f"train/{k}": float(np.mean([m[k] for m in train_metrics]))
+                 for k in train_metrics[0]},
+                step=int(state.step),
+            )
 
         val_metrics = []
         for batch in val_loader:

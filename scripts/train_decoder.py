@@ -84,6 +84,11 @@ def main() -> None:
     from dalle2_video_tpu.utils.config import setup_platform
 
     setup_platform(cfg)
+    from dalle2_video_tpu.parallel.mesh import maybe_init_distributed
+
+    # multi-host: opt-in via multihost=true (jax.distributed coordination
+    # over DCN; the loaders then shard per process below)
+    maybe_init_distributed(bool(cfg.get("multihost", False)))
     log = logging.getLogger("train_decoder")
 
     smoke = bool(cfg.get("smoke", False))
@@ -121,8 +126,18 @@ def main() -> None:
         )
         splits = split_indices(len(ds), cfg["train_ratio"], cfg["seed"])
 
-    train_loader = BatchLoader(ds, bs, splits["train"], shuffle=True, seed=cfg["seed"])
-    val_loader = BatchLoader(ds, bs, splits["val"], shuffle=False)
+    # per-process data sharding: each host reads a disjoint slice and
+    # contributes bs/process_count samples to the global batch
+    proc, nproc = jax.process_index(), jax.process_count()
+    assert bs % nproc == 0, f"batch {bs} not divisible by {nproc} hosts"
+    train_loader = BatchLoader(
+        ds, bs // nproc, splits["train"], shuffle=True, seed=cfg["seed"],
+        shard_index=proc, num_shards=nproc,
+    )
+    val_loader = BatchLoader(
+        ds, bs // nproc, splits["val"], shuffle=False,
+        shard_index=proc, num_shards=nproc,
+    )
 
     decoder = build_decoder(cfg)
     trainer = build_trainer(cfg, decoder)
@@ -150,6 +165,19 @@ def main() -> None:
         u: make_sharded_train_step(trainer, mesh, u, donate_state=False)
         for u in (1, 2)
     }
+    # optional multi-step fusion: steps_per_scan>1 runs K optimizer steps in
+    # ONE compiled dispatch (lax.scan), amortizing dispatch overhead
+    steps_per_scan = int(cfg.get("decoder_trainer", {}).get("steps_per_scan", 1))
+    if steps_per_scan > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dalle2_video_tpu.parallel.sharded import make_sharded_train_steps_scan
+
+        scan_steps = {
+            u: make_sharded_train_steps_scan(trainer, mesh, u, donate_state=False)
+            for u in (1, 2)
+        }
+        scan_sh = NamedSharding(mesh, P(None, "data"))
     eval_losses = {
         u: jax.jit(lambda s, r, v, e, u=u: trainer.eval_loss(
             s, r, v, video_embed=e, unet_number=u))
@@ -162,17 +190,55 @@ def main() -> None:
     key = rng
 
     for epoch in range(epochs):
-        for batch in train_loader:
-            vid, emb = shard_batch(
-                mesh, (jnp.asarray(batch["videos"]), jnp.asarray(batch["video_embeds"]))
+        # epoch-MEAN train losses (reference logs epoch means,
+        # train_clip.py:172-191 — not last-batch noise)
+        train_sums = {1: [], 2: []}
+        if steps_per_scan > 1:
+            # accumulate K batches, dispatch one fused K-step program
+            pending = []
+            for batch in train_loader:
+                pending.append(batch)
+                if len(pending) < steps_per_scan:
+                    continue
+                vids = jnp.stack([jnp.asarray(b["videos"]) for b in pending])
+                embs = jnp.stack([jnp.asarray(b["video_embeds"]) for b in pending])
+                pending.clear()
+                # (K, B, ...): batch axis 1 on 'data'
+                vid = jax.device_put(vids, scan_sh)
+                emb = jax.device_put(embs, scan_sh)
+                for u in (1, 2):
+                    key, k = jax.random.split(key)
+                    state, losses_k = scan_steps[u](state, k, vid, emb)
+                    train_sums[u].extend(np.asarray(losses_k).tolist())
+            # tail batches (< K) go through the single-step path
+            for batch in pending:
+                vid, emb = shard_batch(
+                    mesh,
+                    (jnp.asarray(batch["videos"]), jnp.asarray(batch["video_embeds"])),
+                )
+                for u in (1, 2):
+                    key, k = jax.random.split(key)
+                    state, loss = steps[u](state, k, vid, emb)
+                    train_sums[u].append(float(loss))
+        else:
+            for batch in train_loader:
+                vid, emb = shard_batch(
+                    mesh,
+                    (jnp.asarray(batch["videos"]), jnp.asarray(batch["video_embeds"])),
+                )
+                # both unets trained each batch (reference train_decoder.py:127-138)
+                for u in (1, 2):
+                    key, k = jax.random.split(key)
+                    state, loss = steps[u](state, k, vid, emb)
+                    train_sums[u].append(float(loss))
+        if train_sums[1]:
+            mlog.log(
+                {
+                    "train/loss_unet1": float(np.mean(train_sums[1])),
+                    "train/loss_unet2": float(np.mean(train_sums[2])),
+                },
+                step=int(state.steps[0]),
             )
-            losses = {}
-            # both unets trained each batch (reference train_decoder.py:127-138)
-            for u in (1, 2):
-                key, k = jax.random.split(key)
-                state, losses[f"train/loss_unet{u}"] = steps[u](state, k, vid, emb)
-        mlog.log({k: float(v) for k, v in losses.items()},
-                 step=int(state.steps[0]))
 
         val_sums = {1: [], 2: []}
         for batch in val_loader:

@@ -226,3 +226,16 @@ def test_text_conditioning_loss_and_assert():
     # and omitting required text must raise
     with pytest.raises(AssertionError):
         dec.loss(params, jax.random.PRNGKey(3), video, video_embed=emb)
+
+
+def test_chunked_sampling(cascade):
+    """max_batch_size chunks the sample batch (reference
+    decoder_sample_in_chunks wiring, trainer.py:278,308)."""
+    dec, params = cascade
+    emb = jax.random.normal(jax.random.PRNGKey(0), (3, EMB))
+    out = dec.sample(
+        params, jax.random.PRNGKey(1), video_embed=emb,
+        stop_at_unet_number=1, max_batch_size=2,
+    )
+    assert out.shape[0] == 3
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -111,3 +111,34 @@ def test_gaussian_blur_matches_direct_convolution():
     x = jnp.asarray(img)[None, None, :, :, None]
     got = np.asarray(gaussian_blur_video(x, k, s))[0, 0, :, :, 0]
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_paired_random_crop_per_sample_shared_pair():
+    """Each batch element draws its OWN crop offsets, and the lowres pair
+    gets the SAME offsets (kornia same-params semantics, reference
+    dalle2_video.py:2260-2265)."""
+    import jax
+
+    from dalle2_video_tpu.ops.video import paired_random_crop
+
+    b, t, h, w, c = 8, 2, 16, 16, 1
+    # video encodes its own (row, col) coordinates so the applied offset is
+    # recoverable from the crop content
+    rows = jnp.broadcast_to(jnp.arange(h)[None, None, :, None, None], (b, t, h, w, c))
+    cols = jnp.broadcast_to(jnp.arange(w)[None, None, None, :, None], (b, t, h, w, c))
+    video = rows * 100.0 + cols
+    crop = 4
+    vc, lc = paired_random_crop(jax.random.PRNGKey(0), video, crop, video * 2.0)
+    assert vc.shape == (b, t, crop, crop, c)
+    # recover per-sample offsets from the top-left pixel
+    tl = np.asarray(vc[:, 0, 0, 0, 0])
+    offs = [(int(v // 100), int(v % 100)) for v in tl]
+    assert len(set(offs)) > 1, "offsets must differ across the batch"
+    # pair got the same offsets
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(vc) * 2.0)
+    # crops are valid windows (contiguous coordinate blocks)
+    for bi in range(b):
+        oh, ow = offs[bi]
+        expect = (rows[bi, :, oh : oh + crop, ow : ow + crop]
+                  * 100.0 + cols[bi, :, oh : oh + crop, ow : ow + crop])
+        np.testing.assert_allclose(np.asarray(vc[bi]), np.asarray(expect))

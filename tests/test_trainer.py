@@ -90,15 +90,84 @@ def test_loss_decreases_over_steps(trainer_and_state):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
-def test_grad_accum_matches_full_batch_direction():
+def test_grad_accum_matches_manual_microbatch_mean():
+    """grad_accum=2 must produce EXACTLY the params of manually averaging
+    the two microbatch gradients (same per-microbatch PRNG keys) and
+    applying the same optimizer update."""
     dec = tiny_decoder()
-    tr_full = DecoderTrainer(dec, DecoderTrainerConfig(use_ema=False))
     tr_acc = DecoderTrainer(dec, DecoderTrainerConfig(use_ema=False, grad_accum=2))
-    state = tr_full.init_state(jax.random.PRNGKey(0))
+    state = tr_acc.init_state(jax.random.PRNGKey(0))
     video, emb = batch()
-    _, loss_full = tr_full.train_step(state, jax.random.PRNGKey(5), video, video_embed=emb)
-    _, loss_acc = tr_acc.train_step(state, jax.random.PRNGKey(5), video, video_embed=emb)
-    assert np.isfinite(float(loss_full)) and np.isfinite(float(loss_acc))
+    rng = jax.random.PRNGKey(5)
+
+    state2, loss_acc = tr_acc.train_step(state, rng, video, video_embed=emb)
+
+    # manual: same microbatch split + keys as the accum scan
+    import optax
+
+    keys = jax.random.split(rng, 2)
+    vids = video.reshape(2, B // 2, *video.shape[1:])
+    embs = emb.reshape(2, B // 2, emb.shape[-1])
+
+    def loss_fn(unet_params, key, vid, e):
+        p = dict(state.params)
+        p["unet_0"] = unet_params
+        return dec.loss(p, key, vid, video_embed=e, unet_number=1)
+
+    losses, grads = [], []
+    for k in range(2):
+        l, g = jax.value_and_grad(loss_fn)(
+            state.params["unet_0"], keys[k], vids[k], embs[k]
+        )
+        losses.append(l)
+        grads.append(g)
+    mean_grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+    updates, _ = tr_acc.optimizers[0].update(
+        mean_grads, state.opt_states[0], state.params["unet_0"]
+    )
+    expected = optax.apply_updates(state.params["unet_0"], updates)
+
+    np.testing.assert_allclose(
+        float(loss_acc), float((losses[0] + losses[1]) / 2), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state2.params["unet_0"]),
+        jax.tree_util.tree_leaves(expected),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grad_accum_text_only_conditioning():
+    """grad_accum with text_encodings but NO video_embed (previously read
+    the text slot from the wrong xs index and crashed). Only SR-stage unets
+    can be text-only (unet 1 is always video-embed conditioned), so train
+    unet_number=2 of a two-unet cascade."""
+    u = lambda **kw: UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=EMB,
+        init_cross_embed=False, init_conv_ksize=3, **kw,
+    )
+    dec = tiny_decoder(
+        unets=(u(), u(cond_on_text_encodings=True, text_embed_dim=12, max_text_len=6)),
+        frame_sizes=(S, S),
+        frame_numbers=(T, T),
+    )
+    trainer = DecoderTrainer(dec, DecoderTrainerConfig(use_ema=False, grad_accum=2))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    video, _ = batch()
+    text = jax.random.normal(jax.random.PRNGKey(3), (B, 4, 12))
+    state2, loss = trainer.train_step(
+        state, jax.random.PRNGKey(5), video, text_encodings=text, unet_number=2
+    )
+    assert np.isfinite(float(loss))
+    assert int(state2.steps[1]) == 1
+    # train_steps_scan had the mirror bug: text-only xs failed to unpack
+    vids = jnp.stack([video, video])
+    txts = jnp.stack([text, text])
+    _, losses = trainer.train_steps_scan(
+        state, jax.random.PRNGKey(6), vids, text_encodings=txts, unet_number=2
+    )
+    assert losses.shape == (2,) and np.all(np.isfinite(np.asarray(losses)))
 
 
 def test_ema_decay_spec():
@@ -184,6 +253,44 @@ def test_checkpoint_roundtrip(tmp_path, trainer_and_state):
         jax.tree_util.tree_leaves(state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip_sharded(tmp_path, mesh8):
+    """Save a MESH-SHARDED train state, restore into sharded abstract target
+    (the actual resume=true path under GSPMD), verify shardings + values."""
+    from dalle2_video_tpu.train import load_checkpoint, save_checkpoint
+
+    dec = tiny_decoder()
+    trainer = DecoderTrainer(dec, DecoderTrainerConfig(use_ema=True))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    st_sharded = shard_state(state, mesh8, zero1=True, tp=True, tp_min_width=8)
+    # advance one step so opt state / EMA are non-trivial
+    video, emb = batch()
+    step = make_sharded_train_step(trainer, mesh8, 1, zero1=True, donate_state=False)
+    vid_s, emb_s = shard_batch(mesh8, (video, emb))
+    st_sharded, _ = step(st_sharded, jax.random.PRNGKey(1), vid_s, emb_s)
+
+    path = str(tmp_path / "sharded_ckpt")
+    save_checkpoint(path, st_sharded)
+
+    # restore into an abstract target carrying the SAME shardings
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        if hasattr(x, "sharding") else x,
+        st_sharded,
+    )
+    restored = load_checkpoint(path, abstract)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored),
+        jax.tree_util.tree_leaves(st_sharded),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if hasattr(a, "sharding") and hasattr(b, "sharding"):
+            assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+    # and the restored state can take another sharded step
+    st3, loss = step(restored, jax.random.PRNGKey(2), vid_s, emb_s)
+    assert np.isfinite(float(loss))
+    assert int(st3.steps[0]) == 2
 
 
 def test_sharded_clip_train_step(mesh8):
