@@ -78,6 +78,25 @@ def main() -> None:
         cfg["texts"]["embed"], text_embeds.shape,
     )
 
+    # full-dataset retrieval accuracy (reference Classifier's sequential
+    # OOM-safe path, utils.py:57-129): video->text top-k over ALL pairs,
+    # similarity rows computed in chunks
+    v = video_embeds / np.linalg.norm(video_embeds, axis=-1, keepdims=True)
+    t = text_embeds / np.linalg.norm(text_embeds, axis=-1, keepdims=True)
+    n = len(v)
+    hits = {1: 0, 10: 0}
+    chunk = 1024
+    for s in range(0, n, chunk):
+        sim = v[s : s + chunk] @ t.T  # (c, N)
+        own = sim[np.arange(sim.shape[0]), np.arange(s, min(s + chunk, n))]
+        rank = (sim >= own[:, None]).sum(axis=1)
+        for k in hits:
+            hits[k] += int((rank <= k).sum())
+    log.info(
+        "retrieval over %d pairs: top1=%.4f top10=%.4f",
+        n, hits[1] / n, hits[10] / n,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -157,3 +157,100 @@ def test_chunked_apply():
     g = jax.jit(lambda x, scale, y=None: x * scale + y)
     out2 = chunked_apply(g, 10, 3, x, 3.0, y=x)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(x) * 4)
+
+
+def test_openai_clip_text_import_equivalence(tmp_path):
+    """load_openai_clip_text_params vs a real torch CLIP text tower.
+
+    Builds a miniature torch module with EXACTLY OpenAI CLIP's text-tower
+    structure and state-dict keys (token_embedding, positional_embedding,
+    transformer.resblocks.{i}.attn.in_proj_*, mlp.c_fc/c_proj, ln_final,
+    text_projection), runs both, and asserts outputs match — this is the
+    test that fails on any transposed kernel in the converter
+    (reference clip.load('ViT-B/32'), train_clip.py:82,133-135)."""
+    torch = pytest.importorskip("torch")
+    import collections
+
+    from dalle2_video_tpu.models.clip_text import load_openai_clip_text_params
+
+    VOCAB, CTX, D, H, LAYERS, EMB = 50, 8, 16, 2, 2, 12
+    torch.manual_seed(0)
+
+    class QuickGELU(torch.nn.Module):
+        def forward(self, x):
+            return x * torch.sigmoid(1.702 * x)
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attn = torch.nn.MultiheadAttention(D, H)
+            self.ln_1 = torch.nn.LayerNorm(D)
+            self.mlp = torch.nn.Sequential(
+                collections.OrderedDict(
+                    [
+                        ("c_fc", torch.nn.Linear(D, 4 * D)),
+                        ("gelu", QuickGELU()),
+                        ("c_proj", torch.nn.Linear(4 * D, D)),
+                    ]
+                )
+            )
+            self.ln_2 = torch.nn.LayerNorm(D)
+
+        def forward(self, x, mask):
+            y = self.ln_1(x)
+            y = self.attn(y, y, y, need_weights=False, attn_mask=mask)[0]
+            x = x + y
+            return x + self.mlp(self.ln_2(x))
+
+    class Tower(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.token_embedding = torch.nn.Embedding(VOCAB, D)
+            self.positional_embedding = torch.nn.Parameter(torch.randn(CTX, D) * 0.1)
+            self.transformer = torch.nn.Module()
+            self.transformer.resblocks = torch.nn.ModuleList(
+                Block() for _ in range(LAYERS)
+            )
+            self.ln_final = torch.nn.LayerNorm(D)
+            self.text_projection = torch.nn.Parameter(torch.randn(D, EMB) * D**-0.5)
+
+        def forward(self, tokens):
+            x = self.token_embedding(tokens) + self.positional_embedding
+            mask = torch.full((CTX, CTX), float("-inf")).triu(1)
+            x = x.permute(1, 0, 2)  # NLD -> LND (CLIP model.py)
+            for blk in self.transformer.resblocks:
+                x = blk(x, mask)
+            x = x.permute(1, 0, 2)
+            x = self.ln_final(x)
+            pooled = x[torch.arange(x.shape[0]), tokens.argmax(dim=-1)]
+            return pooled @ self.text_projection, x
+
+    tower = Tower().eval()
+    # non-trivial weights everywhere (default MHA in_proj_bias is zeros)
+    with torch.no_grad():
+        for p in tower.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    tokens = torch.randint(1, VOCAB, (3, CTX))
+    with torch.no_grad():
+        want_embed, want_enc = tower(tokens)
+
+    path = str(tmp_path / "clip_text.pt")
+    torch.save(tower.state_dict(), path)
+
+    cfg = CLIPTextConfig(
+        vocab_size=VOCAB, context_length=CTX, width=D, heads=H,
+        layers=LAYERS, embed_dim=EMB,
+    )
+    variables = load_openai_clip_text_params(path, cfg)
+    model = CLIPTextEncoder(cfg)
+    got_embed, got_enc = model.apply(
+        variables, jnp.asarray(tokens.numpy()), return_encodings=True
+    )
+    # f32 matmul-order noise is ~1e-5; a transposed kernel would be O(1)
+    np.testing.assert_allclose(
+        np.asarray(got_enc), want_enc.numpy(), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_embed), want_embed.numpy(), atol=1e-4, rtol=1e-4
+    )

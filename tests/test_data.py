@@ -207,3 +207,57 @@ def test_grain_loader(h5_store):
     e0 = np.concatenate([x["video_embeds"][:, 0] for x in l0])
     e1 = np.concatenate([x["video_embeds"][:, 0] for x in l1])
     assert not np.isin(e0, e1).any()
+
+
+def _write_merges(path, merges):
+    """Write a CLIP-format merges file (line 0 is a version header)."""
+    import gzip
+
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write("#version: synthetic\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+
+
+def test_bpe_merge_semantics(tmp_path):
+    """ClipBPETokenizer applies merges by rank with OpenAI CLIP's exact id
+    layout: 256 byte tokens, 256 byte</w> tokens, merges at 512+rank,
+    SOT/EOT last. Golden-checked by hand on a synthetic merges table."""
+    from dalle2_video_tpu.data.tokenizer import ClipBPETokenizer
+
+    path = str(tmp_path / "merges.txt.gz")
+    # rank 0: t+h -> 'th'; rank 1: th+e</w> -> 'the</w>'; rank 2: h+e</w>
+    _write_merges(path, [("t", "h"), ("th", "e</w>"), ("h", "e</w>")])
+    tok = ClipBPETokenizer(path)
+
+    # byte-token ids follow bytes_to_unicode order: printable ascii first,
+    # so id('x') = ord(x) - 33 for ascii, id('x</w>') = 256 + that
+    bid = lambda ch: ord(ch) - 33
+
+    assert tok.encode("the") == [512 + 1]           # t+h, then th+e</w>
+    assert tok.encode("he") == [512 + 2]            # h+e</w> (rank 2)
+    assert tok.encode("ha") == [bid("h"), 256 + bid("a")]  # no merge applies
+    assert tok.encode("a") == [256 + bid("a")]      # single char -> 'a</w>'
+    # merge ORDER matters: in 'the', t+h (rank 0) fires before h+e</w>
+    # (rank 2) even though both match the initial pair set
+    assert tok.encode("the") != [bid("t"), 512 + 2]
+    # specials sit at the end of the vocab (with the real 48894-merge asset
+    # this layout puts them at exactly 49406/49407 = SOT/EOT)
+    assert tok.encoder["<|startoftext|>"] == len(tok.encoder) - 2
+    assert tok.encoder["<|endoftext|>"] == len(tok.encoder) - 1
+    # case/whitespace normalization (clip.tokenize lowercases + collapses)
+    assert tok.encode("  THE\n\the ") == tok.encode("the he")
+
+
+def test_real_clip_vocab_golden_ids():
+    """Exact OpenAI token ids — runs only when the real CLIP BPE asset is
+    present (docs/PARITY.md records the fetch: same file as
+    https://github.com/openai/CLIP clip/bpe_simple_vocab_16e6.txt.gz)."""
+    from dalle2_video_tpu.data.tokenizer import _DEFAULT_BPE_PATHS, get_tokenizer
+
+    if not any(__import__("os").path.exists(p) for p in _DEFAULT_BPE_PATHS):
+        import pytest
+
+        pytest.skip("real CLIP BPE vocab asset not present (no egress)")
+    ids = tokenize(["a photo of a cat"], tokenizer=get_tokenizer())
+    assert ids[0, :7].tolist() == [49406, 320, 1125, 539, 320, 2368, 49407]
