@@ -121,6 +121,16 @@ class Block3D(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
         x = SpatialConv(self.dim_out, 3, name="project")(x)
+        if self.norm_impl == "skip":
+            # DIAGNOSTIC ONLY (perf ablation): affine + FiLM + SiLU with no
+            # normalization statistics — isolates the GN-stats cost in
+            # profiles. Same param tree as the real paths.
+            gamma, beta = _GNParams(self.dim_out, name="norm")()
+            x = x * gamma.astype(x.dtype) + beta.astype(x.dtype)
+            if scale_shift is not None:
+                scale, shift = scale_shift
+                x = x * (scale[:, None, None, None, :] + 1.0) + shift[:, None, None, None, :]
+            return nn.silu(x)
         if self.norm_impl == "pallas":
             from dalle2_video_tpu.ops.pallas.groupnorm_film import (
                 groupnorm_film_silu,
@@ -138,6 +148,10 @@ class Block3D(nn.Module):
                 self.groups, 1e-5,
             )
             return y.reshape(b, t, h, w, c).astype(x.dtype)
+        # NOTE (r2 perf): three GN variants were A/B'd in the full train step
+        # on v5e — flax GN 268.8 ms, fused Pallas fwd+bwd kernel 335.6 ms
+        # (kernel boundary breaks fusion), hand-rolled convert-inside-reduce
+        # bf16 GN 279.2 ms. flax GN + XLA fusion wins; docs/PERF.md r2.
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift  # each (b, dim_out)

@@ -21,8 +21,21 @@ sum/sumsq scratch persists across the L sweep:
   phase 1: matmul-fold channels->groups (Mosaic forbids lane reshapes),
            then silu(xhat*A + B)
 
-Gradients: jax.custom_vjp; the backward recomputes statistics from the
-saved raw inputs (standard recompute backward, pure XLA).
+Gradients: jax.custom_vjp with the backward ALSO in Pallas (round 2 —
+the round-1 recompute-in-XLA backward measured 548 vs 304 ms in the train
+step; the per-op profile showed GroupNorm f32 materialization + stats at
+~80 ms of the 259 ms step). The backward streams (x, g) twice:
+
+  phase 0: t1_c = sum_L dz, t2_c = sum_L dz*xhat   (dz recomputed from the
+           saved per-channel mean/rstd broadcasts; silu'(z) elementwise)
+  finalize: dA = t2, dB = t1; group sums fold through the SAME membership
+           matmul as forward since dxhat = dz*A:
+              S1_g = sum_{c in g} A_c t1_c,  S2_g = sum_{c in g} A_c t2_c
+  phase 1: dx = rstd * (A*dz - (S1_g + xhat*S2_g) / N_g)
+
+Param grads chain outside in XLA from the tiny (B, C) dA/dB:
+  dgamma = sum_b dA*(scale+1), dbeta = sum_b dB*(scale+1),
+  dscale = dA*gamma + dB*beta, dshift = dB.
 """
 
 from __future__ import annotations
@@ -41,6 +54,8 @@ def _kernel(
     a_ref,    # (1, 1, C) f32: gamma*(scale+1) for this batch row
     b_ref,    # (1, 1, C) f32: beta*(scale+1)+shift
     o_ref,    # (1, BL, C)
+    mean_o,   # (1, 1, C) f32 output: per-channel broadcast of group mean
+    rstd_o,   # (1, 1, C) f32 output
     sum_s,    # (1, C) f32 scratch
     sq_s,     # (1, C) f32 scratch
     mean_s,   # (1, C) f32 scratch (per-channel broadcast of group mean)
@@ -50,6 +65,7 @@ def _kernel(
     eps: float,
     seq_len: int,
     block_l: int,
+    c_orig: int,
 ):
     p = pl.program_id(1)
     li = pl.program_id(2)
@@ -72,11 +88,13 @@ def _kernel(
     @pl.when((p == 0) & (li == n_l - 1))
     def _finalize_stats():
         # group-fold via a (C, G) membership-matrix matmul — Mosaic does not
-        # support lane reshapes like (1, C) -> (G, C/G) on real TPUs
+        # support lane reshapes like (1, C) -> (G, C/G) on real TPUs.
+        # Lane j carries channel j % c_orig (L-rows may be lane-packed).
         c = sum_s.shape[1]
-        cg = c // groups
-        n_el = jnp.float32(seq_len * cg)
-        chan_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+        cg_orig = c_orig // groups
+        n_el = jnp.float32(seq_len * (c // groups))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+        chan_group = (lane % c_orig) // cg_orig
         group_id = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
         member = (chan_group == group_id).astype(jnp.float32)  # (C, G)
         dot = lambda a, b: jax.lax.dot_general(
@@ -89,6 +107,8 @@ def _kernel(
         rstd = jax.lax.rsqrt(var + eps)
         mean_s[:] = dot(mean, member.T)  # broadcast back to (1, C)
         rstd_s[:] = dot(rstd, member.T)
+        mean_o[0] = mean_s[:]  # saved for the Pallas backward
+        rstd_o[0] = rstd_s[:]
 
     @pl.when(p == 1)
     def _normalize():
@@ -98,48 +118,69 @@ def _kernel(
         o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
+def _pack_factor(c: int, l: int) -> int:
+    """Fold f consecutive L-rows into lanes so the lane dim is >=128 —
+    C=64 stages otherwise run the whole kernel at half VPU width (the same
+    lane-padding tax the convs pay). (B, L, C) -> (B, L/f, C*f) is a
+    contiguous reshape: zero-cost relayout."""
+    f = 1
+    while c * f < 128 and l % (f * 2) == 0:
+        f *= 2
+    return f
+
+
 def _fwd_impl(x, gamma, beta, scale, shift, groups, eps, block_l, interpret):
     b, l, c = x.shape
-    l_pad = (l + block_l - 1) // block_l * block_l
-    if l_pad != l:
-        x_in = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
-    else:
-        x_in = x
-    n_l = l_pad // block_l
+    f = _pack_factor(c, l)
+    lp, cp = l // f, c * f
+    xp = x.reshape(b, lp, cp)
+    bl = min(block_l, lp) if lp >= 8 else lp
+    if bl >= 8:
+        bl -= bl % 8  # sublane-align the block for the real-TPU tiling
+    l_pad = (lp + bl - 1) // bl * bl
+    if l_pad != lp:
+        xp = jnp.pad(xp, ((0, 0), (0, l_pad - lp), (0, 0)))
+    n_l = l_pad // bl
 
     # fold GN affine + FiLM into two per-batch channel vectors (module doc)
-    g32 = gamma.astype(jnp.float32)[None, :]
-    b32 = beta.astype(jnp.float32)[None, :]
-    s32 = scale.astype(jnp.float32)
-    t32 = shift.astype(jnp.float32)
-    a_vec = (g32 * (s32 + 1.0))[:, None, :]  # (B, 1, C)
-    b_vec = (b32 * (s32 + 1.0) + t32)[:, None, :]
+    a_vec, b_vec = _fold_ab(gamma, beta, scale, shift)
+    if f > 1:
+        a_vec = jnp.tile(a_vec, (1, 1, f))
+        b_vec = jnp.tile(b_vec, (1, 1, f))
 
-    out = pl.pallas_call(
+    out, mean, rstd = pl.pallas_call(
         functools.partial(
-            _kernel, groups=groups, eps=eps, seq_len=l, block_l=block_l
+            _kernel, groups=groups, eps=eps, seq_len=lp, block_l=bl, c_orig=c
         ),
         grid=(b, 2, n_l),
         in_specs=[
-            pl.BlockSpec((1, block_l, c), lambda bi, p, li: (bi, li, 0)),
-            pl.BlockSpec((1, 1, c), lambda bi, p, li: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda bi, p, li: (bi, 0, 0)),
+            pl.BlockSpec((1, bl, cp), lambda bi, p, li: (bi, li, 0)),
+            pl.BlockSpec((1, 1, cp), lambda bi, p, li: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, cp), lambda bi, p, li: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_l, c), lambda bi, p, li: (bi, li, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, l_pad, c), x.dtype),
+        out_specs=(
+            pl.BlockSpec((1, bl, cp), lambda bi, p, li: (bi, li, 0)),
+            pl.BlockSpec((1, 1, cp), lambda bi, p, li: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, cp), lambda bi, p, li: (bi, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l_pad, cp), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((1, c), jnp.float32),
-            pltpu.VMEM((1, c), jnp.float32),
-            pltpu.VMEM((1, c), jnp.float32),
-            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, cp), jnp.float32),
+            pltpu.VMEM((1, cp), jnp.float32),
+            pltpu.VMEM((1, cp), jnp.float32),
+            pltpu.VMEM((1, cp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # batch rows independent; phase+L sweep carry scratch state
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_in, a_vec, b_vec)
-    return out[:, :l]
+    )(xp, a_vec, b_vec)
+    return out[:, :lp].reshape(b, l, c), mean, rstd
 
 
 def _reference_math(x, gamma, beta, scale, shift, groups, eps):
@@ -156,6 +197,137 @@ def _reference_math(x, gamma, beta, scale, shift, groups, eps):
     return z * jax.nn.sigmoid(z)
 
 
+# --------------------------------------------------------------------- #
+# backward kernel (module docstring: two streamed passes + group fold)
+# --------------------------------------------------------------------- #
+def _bwd_kernel(
+    x_ref,     # (1, BL, C) raw input
+    g_ref,     # (1, BL, C) cotangent
+    a_ref,     # (1, 1, C) f32: A = gamma*(scale+1)
+    b_ref,     # (1, 1, C) f32: B = beta*(scale+1)+shift
+    mean_ref,  # (1, 1, C) f32 saved stats (per-channel broadcast)
+    rstd_ref,  # (1, 1, C) f32
+    dx_ref,    # (1, BL, C) output
+    da_ref,    # (1, 1, C) f32 output: sum_L dz*xhat
+    db_ref,    # (1, 1, C) f32 output: sum_L dz
+    t1_s,      # (1, C) f32 scratch
+    t2_s,      # (1, C) f32 scratch
+    s1_s,      # (1, C) f32 scratch: group-sum broadcast of A*t1
+    s2_s,      # (1, C) f32 scratch: group-sum broadcast of A*t2
+    *,
+    groups: int,
+    seq_len: int,
+    block_l: int,
+    c_orig: int,
+):
+    p = pl.program_id(1)
+    li = pl.program_id(2)
+    n_l = pl.num_programs(2)
+
+    def dz_and_xhat(x):
+        xhat = (x - mean_ref[0]) * rstd_ref[0]
+        z = xhat * a_ref[0] + b_ref[0]
+        sig = jax.nn.sigmoid(z)
+        dsilu = sig * (1.0 + z * (1.0 - sig))
+        g = g_ref[0].astype(jnp.float32)
+        return g * dsilu, xhat
+
+    @pl.when((p == 0) & (li == 0))
+    def _init():
+        t1_s[:] = jnp.zeros_like(t1_s)
+        t2_s[:] = jnp.zeros_like(t2_s)
+
+    @pl.when(p == 0)
+    def _accumulate():
+        x = x_ref[0].astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + li * block_l
+        valid = (row < seq_len).astype(jnp.float32)
+        dz, xhat = dz_and_xhat(x)
+        dz = dz * valid
+        t1_s[:] = t1_s[:] + jnp.sum(dz, axis=0, keepdims=True)
+        t2_s[:] = t2_s[:] + jnp.sum(dz * xhat, axis=0, keepdims=True)
+
+    @pl.when((p == 0) & (li == n_l - 1))
+    def _finalize():
+        c = t1_s.shape[1]
+        cg_orig = c_orig // groups
+        n_el = jnp.float32(seq_len * (c // groups))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+        chan_group = (lane % c_orig) // cg_orig
+        group_id = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+        member = (chan_group == group_id).astype(jnp.float32)  # (C, G)
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        da_ref[0] = t2_s[:]
+        db_ref[0] = t1_s[:]
+        # dxhat = dz*A  =>  group sums of dxhat / dxhat*xhat fold through A
+        s1_s[:] = dot(dot(a_ref[0] * t1_s[:], member), member.T) / n_el
+        s2_s[:] = dot(dot(a_ref[0] * t2_s[:], member), member.T) / n_el
+
+    @pl.when(p == 1)
+    def _dx():
+        x = x_ref[0].astype(jnp.float32)
+        dz, xhat = dz_and_xhat(x)
+        dx = rstd_ref[0] * (a_ref[0] * dz - s1_s[:] - xhat * s2_s[:])
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_impl(x, g, a_vec, b_vec, mean, rstd, groups, block_l, interpret):
+    b, l, c = x.shape
+    f = _pack_factor(c, l)  # same factor the forward used (saved stats match)
+    lp, cp = l // f, c * f
+    xp = x.reshape(b, lp, cp)
+    gp = g.reshape(b, lp, cp)
+    if f > 1:
+        a_vec = jnp.tile(a_vec, (1, 1, f))
+        b_vec = jnp.tile(b_vec, (1, 1, f))
+    bl = min(block_l, lp) if lp >= 8 else lp
+    if bl >= 8:
+        bl -= bl % 8  # sublane-align the block for the real-TPU tiling
+    l_pad = (lp + bl - 1) // bl * bl
+    if l_pad != lp:
+        xp = jnp.pad(xp, ((0, 0), (0, l_pad - lp), (0, 0)))
+        gp = jnp.pad(gp, ((0, 0), (0, l_pad - lp), (0, 0)))
+    n_l = l_pad // bl
+
+    row_spec = pl.BlockSpec((1, bl, cp), lambda bi, p, li: (bi, li, 0))
+    vec_spec = pl.BlockSpec((1, 1, cp), lambda bi, p, li: (bi, 0, 0))
+    dx, da, db = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, groups=groups, seq_len=lp, block_l=bl, c_orig=c
+        ),
+        grid=(b, 2, n_l),
+        in_specs=[row_spec, row_spec, vec_spec, vec_spec, vec_spec, vec_spec],
+        out_specs=(row_spec, vec_spec, vec_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l_pad, cp), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, cp), jnp.float32) for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, gp, a_vec, b_vec, mean, rstd)
+    dx = dx[:, :lp].reshape(b, l, c)
+    # fold the f lane-copies of each channel back together
+    da = da[:, 0].reshape(b, f, c).sum(axis=1)
+    db = db[:, 0].reshape(b, f, c).sum(axis=1)
+    return dx, da, db
+
+
+def _fold_ab(gamma, beta, scale, shift):
+    g32 = gamma.astype(jnp.float32)[None, :]
+    b32 = beta.astype(jnp.float32)[None, :]
+    s32 = scale.astype(jnp.float32)
+    t32 = shift.astype(jnp.float32)
+    a_vec = (g32 * (s32 + 1.0))[:, None, :]  # (B, 1, C)
+    b_vec = (b32 * (s32 + 1.0) + t32)[:, None, :]
+    return a_vec, b_vec
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def groupnorm_film_silu(
     x: jnp.ndarray,      # (B, L, C)
@@ -168,24 +340,32 @@ def groupnorm_film_silu(
     block_l: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    return _fwd_impl(x, gamma, beta, scale, shift, groups, eps, block_l, interpret)
+    out, _, _ = _fwd_impl(x, gamma, beta, scale, shift, groups, eps, block_l, interpret)
+    return out
 
 
 def _vjp_fwd(x, gamma, beta, scale, shift, groups, eps, block_l, interpret):
-    out = _fwd_impl(x, gamma, beta, scale, shift, groups, eps, block_l, interpret)
-    return out, (x, gamma, beta, scale, shift)
+    out, mean, rstd = _fwd_impl(
+        x, gamma, beta, scale, shift, groups, eps, block_l, interpret
+    )
+    return out, (x, gamma, beta, scale, shift, mean, rstd)
 
 
 def _vjp_bwd(groups, eps, block_l, interpret, residuals, g):
-    """Recompute-statistics backward (pure XLA; differentiates the
-    reference math — numerically identical fn, grads exact)."""
-    x, gamma, beta, scale, shift = residuals
-
-    def f(x_, gamma_, beta_, scale_, shift_):
-        return _reference_math(x_, gamma_, beta_, scale_, shift_, groups, eps)
-
-    _, vjp = jax.vjp(f, x, gamma, beta, scale, shift)
-    dx, dgamma, dbeta, dscale, dshift = vjp(g.astype(jnp.float32))
+    """Pallas streaming backward (module docstring); tiny param-grad chain
+    from the per-(b,c) dA/dB in XLA."""
+    x, gamma, beta, scale, shift, mean, rstd = residuals
+    a_vec, b_vec = _fold_ab(gamma, beta, scale, shift)
+    dx, da, db = _bwd_impl(
+        x, g, a_vec, b_vec, mean, rstd, groups, block_l, interpret
+    )
+    s1 = scale.astype(jnp.float32) + 1.0
+    dgamma = jnp.sum(da * s1, axis=0)
+    dbeta = jnp.sum(db * s1, axis=0)
+    dscale = da * gamma.astype(jnp.float32)[None, :] + db * beta.astype(
+        jnp.float32
+    )[None, :]
+    dshift = db
     return (
         dx.astype(x.dtype),
         dgamma.astype(gamma.dtype),

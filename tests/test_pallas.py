@@ -221,3 +221,87 @@ def test_flash_mqa_gradients_match_xla():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 16, 8), (3, 8, 32, 16)])
+def test_packed_conv_matches_xla(shape):
+    """conv3x3_packed == lax conv on the unpacked layout (fwd)."""
+    from dalle2_video_tpu.ops.pallas.spatial_conv import conv3x3_spatial
+
+    n, h, w, c = shape
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c))
+    wk = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c)) * 0.2
+    ref = jax.lax.conv_general_dilated(
+        x, wk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = conv3x3_spatial(x, wk, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_conv_gradients_match_xla():
+    """Custom VJP (dx via transposed-B conv, dw via the wgrad kernel)."""
+    from dalle2_video_tpu.ops.pallas.spatial_conv import (
+        conv3x3_packed,
+        pack_width,
+        unpack_width,
+    )
+
+    n, h, w, c = 2, 8, 16, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c))
+    wk = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c)) * 0.2
+
+    def loss_pallas(x_, w_):
+        return jnp.sum(jnp.square(conv3x3_packed(pack_width(x_), w_, True)))
+
+    def loss_ref(x_, w_):
+        y = jax.lax.conv_general_dilated(
+            x_, w_, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return jnp.sum(jnp.square(y))
+
+    gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, wk)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-4, atol=1e-3)
+
+
+def test_packed_conv_rectangular_out_channels():
+    """Co != C (e.g. the up-path 2C->C convs feed Co=C/2 shapes)."""
+    from dalle2_video_tpu.ops.pallas.spatial_conv import conv3x3_spatial
+
+    n, h, w, c, co = 2, 8, 8, 16, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c))
+    wk = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, co)) * 0.2
+    ref = jax.lax.conv_general_dilated(
+        x, wk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = conv3x3_spatial(x, wk, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_groupnorm_bwd_all_five_grads():
+    """Pallas backward vs oracle on ALL five inputs with nonzero
+    beta/shift (round-2 in-kernel backward)."""
+    from dalle2_video_tpu.ops.pallas.groupnorm_film import (
+        _reference_math,
+        groupnorm_film_silu,
+    )
+
+    b, l, c, g = 2, 40, 16, 4
+    keys = jax.random.split(jax.random.PRNGKey(9), 5)
+    x = jax.random.normal(keys[0], (b, l, c))
+    gamma = 1.0 + jax.random.normal(keys[1], (c,)) * 0.1
+    beta = jax.random.normal(keys[2], (c,)) * 0.2
+    scale = jax.random.normal(keys[3], (b, c)) * 0.1
+    shift = jax.random.normal(keys[4], (b, c)) * 0.2
+
+    def lk(*args):
+        return jnp.sum(groupnorm_film_silu(*args, g, 1e-5, 32, True) ** 2)
+
+    def lo(*args):
+        return jnp.sum(_reference_math(*args, g, 1e-5) ** 2)
+
+    gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, scale, shift)
+    go = jax.grad(lo, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, scale, shift)
+    for a, b_ in zip(gk, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
