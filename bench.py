@@ -81,19 +81,21 @@ def main():
     print(f"compile: {time.time() - t0:.1f}s, XLA flops/step: {flops_per_step:.3e}",
           file=sys.stderr)
 
-    # warmup
+    # warmup. NOTE: block_until_ready can return before execution on the
+    # axon runtime — force a device->host scalar transfer to truly drain.
+    sync = lambda x: float(jax.device_get(x))
     key = jax.random.PRNGKey(4)
     for _ in range(3):
         key, k = jax.random.split(key)
         state, loss = compiled(state, k)
-    jax.block_until_ready(loss)
+    sync(loss)
 
     iters = 10
     t0 = time.time()
     for _ in range(iters):
         key, k = jax.random.split(key)
         state, loss = compiled(state, k)
-    jax.block_until_ready(loss)
+    sync(loss)
     dt = (time.time() - t0) / iters
 
     frames_per_sec = B * T / dt

@@ -152,6 +152,9 @@ class Block3D(nn.Module):
         # on v5e — flax GN 268.8 ms, fused Pallas fwd+bwd kernel 335.6 ms
         # (kernel boundary breaks fusion), hand-rolled convert-inside-reduce
         # bf16 GN 279.2 ms. flax GN + XLA fusion wins; docs/PERF.md r2.
+        # (also tried: nothing_saveable remat of the GN — 290.1 ms, worse;
+        # the "f32 residuals" in the profile were free bitcast-remats, not
+        # real saves. flax GN as-is remains the fastest variant measured.)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift  # each (b, dim_out)
@@ -206,6 +209,23 @@ class CrossAttention(nn.Module):
             )
 
             out = cross_attention(q, k, v, sm_scale=scale).reshape(b, n, inner)
+        elif self.impl == "broadcast":
+            # VPU broadcast-reduce formulation: the context axis is tiny
+            # (6-8 cond tokens) so per-head dots are 64-MAC reductions —
+            # lowering them as dot_general batches over (b, h) and
+            # transposes the BIG (b, n, h, d) q tensor (~2-3 ms/site in the
+            # r2 profile); broadcast-multiply + reduce keeps q's layout.
+            sim = jnp.sum(q[:, None] * (k * scale)[:, :, None], axis=-1)
+            # sim (b, m, n, h)
+            if mask is not None:
+                m_pad = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+                sim = jnp.where(
+                    m_pad[:, :, None, None], sim, jnp.finfo(sim.dtype).min
+                )
+            attn = jax.nn.softmax(sim, axis=1)
+            out = jnp.sum(
+                attn[..., None] * v[:, :, None], axis=1
+            ).reshape(b, n, inner)
         else:
             # context-major layout: the context axis m is tiny (6-8 cond
             # tokens), so keeping it off the 128-lane minor axis avoids an
@@ -451,22 +471,38 @@ def _icnr_init(key, shape, dtype=jnp.float32):
 
 class PixelShuffleUpsample3D(nn.Module):
     """1x1 conv to 4x channels (ICNR init) -> SiLU -> frame-wise pixel shuffle
-    (reference PixelShuffleUpsample3D, dalle2_video.py:38-78)."""
+    (reference PixelShuffleUpsample3D, dalle2_video.py:38-78).
+
+    Executed as ONE 2x2-stride-2 conv_transpose with the shuffle folded into
+    the kernel view: the separate depth-to-space produced 7-D relayout
+    copies on TPU (~1.5 ms each in the r2 profile, docs/PERF.md). Math is
+    IDENTICAL (params: "conv" (C, 4*dim_out) ICNR + "conv_bias"):
+    silu and the shuffle permutation commute, and
+    kt[s1,s2,ci,co] = W[ci, co*4 + (1-s1)*2 + (1-s2)] reproduces
+    pixel_shuffle_spatial's (c, s1, s2) channel order (conv_transpose
+    applies flipped taps) — tested against the shuffle formulation."""
 
     dim_out: int
 
     @nn.compact
     def __call__(self, x):
         b, t, h, w, c = x.shape
-        y = x.reshape(b, t, h, w, c)
-        y = nn.Dense(
-            self.dim_out * 4,
-            kernel_init=_icnr_init,
-            bias_init=nn.initializers.zeros,
-            name="conv",
-        )(y)
-        y = nn.silu(y)
-        return pixel_shuffle_spatial(y, 2)
+        kernel = self.param("conv", _icnr_init, (c, self.dim_out * 4))
+        bias = self.param("conv_bias", nn.initializers.zeros, (self.dim_out * 4,))
+        kt = jnp.transpose(
+            kernel.reshape(c, self.dim_out, 2, 2), (2, 3, 0, 1)
+        )
+        kt = jnp.flip(kt, axis=(0, 1)).astype(x.dtype)
+        bt = jnp.transpose(
+            bias.reshape(self.dim_out, 2, 2), (1, 2, 0)
+        ).astype(x.dtype)  # (2, 2, dim_out) per-subpixel bias
+        y = jax.lax.conv_transpose(
+            x.reshape(b * t, h, w, c), kt, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(b, t, 2 * h, 2 * w, self.dim_out)
+        # bias per output channel varies by subpixel position (s1, s2)
+        y = y + jnp.tile(bt[None, None], (1, 1, h, w, 1))
+        return nn.silu(y)
 
 
 class CrossEmbedLayer3D(nn.Module):

@@ -230,3 +230,22 @@ def test_temporal_attention_option():
     out2 = model.apply(params, x2, time, video_embed=emb)
     # a change in frame 0 must propagate to OTHER frames' outputs
     assert float(jnp.abs(out[:, 1:] - out2[:, 1:]).max()) > 1e-6
+
+
+def test_cross_attention_broadcast_impl_matches_xla():
+    """impl='broadcast' (VPU broadcast-reduce, r2 perf) == default einsum."""
+    from dalle2_video_tpu.models.layers import CrossAttention
+
+    b, n, m, dim, ctx_dim = 2, 24, 5, 16, 12
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, n, dim))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, m, ctx_dim))
+    mask = jnp.array([[True] * 5, [True, True, True, False, False]])
+    a_x = CrossAttention(dim, context_dim=ctx_dim, heads=2, dim_head=8, impl="xla")
+    a_b = CrossAttention(dim, context_dim=ctx_dim, heads=2, dim_head=8, impl="broadcast")
+    params = a_x.init(jax.random.PRNGKey(2), x, ctx)
+    for msk in (None, mask):
+        out_x = a_x.apply(params, x, ctx, msk)
+        out_b = a_b.apply(params, x, ctx, msk)
+        np.testing.assert_allclose(
+            np.asarray(out_b), np.asarray(out_x), atol=2e-5
+        )
