@@ -73,10 +73,51 @@ class SpatialConv(nn.Module):
     stride: int = 1
     use_bias: bool = True
     kernel_init: Callable = torch_kernel_init
+    # "pallas_small" routes SMALL-SPATIAL 3x3 sites through the pixel-pair-
+    # packed Pallas forward (XLA backward) — the geometry where XLA's fwd is
+    # halo-dominated (docs/PERF.md: 43.7 vs 21.7 TF/s at 8x8/C=512). Large
+    # stages and non-3x3 always use XLA. Param tree is identical.
+    impl: str = "xla"  # "xla" | "pallas_small"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, h, w, c = x.shape
+        if (
+            self.impl == "pallas_small"
+            and self.kernel_size == 3
+            and self.stride == 1
+            and h * w <= 256
+            and w % 2 == 0
+            and c % 64 == 0
+            and self.features % 64 == 0
+        ):
+            from dalle2_video_tpu.ops.pallas.spatial_conv import conv3x3_spatial_xbwd
+
+            kernel, bias = _BareConvParams(
+                self.features, c, use_bias=self.use_bias,
+                kernel_init=self.kernel_init, name="Conv_0",
+            )()
+            # same dtype promotion as flax nn.Conv
+            dts = [x.dtype, kernel.dtype] + ([bias.dtype] if bias is not None else [])
+            dt = jnp.result_type(*dts)
+            xs = x.reshape(b * t, h, w, c).astype(dt)
+            # packed kernel matrix (12C, 2Co) must fit VMEM next to the A
+            # blocks: 13 MB bound admits the bf16 512->512 sites; f32 traces
+            # (init) and the 1024-in skip-concat sites use the XLA conv with
+            # the SAME param tree, so checkpoints interchange across impls
+            if 12 * c * 2 * self.features * jnp.dtype(dt).itemsize <= 13 * 1024 * 1024:
+                y = conv3x3_spatial_xbwd(
+                    xs, kernel.astype(dt),
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xs, kernel.astype(dt), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            if bias is not None:
+                y = y + bias.astype(dt)
+            return y.reshape(b, t, h, w, self.features)
         y = x.reshape(b * t, h, w, c)
         y = nn.Conv(
             self.features,
@@ -105,6 +146,39 @@ class _GNParams(nn.Module):
         return scale, bias
 
 
+class _BareConvParams(nn.Module):
+    """Raw 3x3 conv params with nn.Conv's names/initializers."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    kernel_init: Callable = torch_kernel_init
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, self.in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _SpatialConvParams(nn.Module):
+    """Param-tree twin of SpatialConv (project/Conv_0/{kernel,bias}) for the
+    fused megakernel path — checkpoints interchange with the XLA path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _BareConvParams(self.features, self.in_features, name="Conv_0")()
+
+
 class Block3D(nn.Module):
     """conv(1,3,3) -> GroupNorm -> FiLM scale/shift -> SiLU
     (reference Block3D, dalle2_video.py:99-133).
@@ -117,10 +191,39 @@ class Block3D(nn.Module):
     dim_out: int
     groups: int = 8
     norm_impl: str = "xla"  # "xla" | "pallas"
+    conv_impl: str = "xla"  # "xla" | "pallas_small" (see SpatialConv.impl)
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
-        x = SpatialConv(self.dim_out, 3, name="project")(x)
+        b, t, h, w, c = x.shape
+        fused_ok = (
+            self.norm_impl == "fused"
+            and w % 2 == 0
+            and self.dim_out % self.groups == 0
+            # packed kernel matrix (12C, 2Co) must fit VMEM (~16 MB/core,
+            # measured: 24 MB f32 bmat OOMs at compile). Dtype-aware bound
+            # with headroom for blocks/A/scratch: deep f32 traces (init
+            # runs f32) and the C>=512 squares fall back to XLA.
+            and 12 * c * 2 * self.dim_out * jnp.dtype(x.dtype).itemsize
+            <= 8 * 1024 * 1024
+        )
+        if fused_ok:
+            # whole-block Pallas megakernel: conv + bias + GN stats in one
+            # pass over the pixel-pair-packed layout, normalize+FiLM+SiLU as
+            # a single fused elementwise (ops/pallas/fused_block.py). Param
+            # tree identical to the XLA path.
+            from dalle2_video_tpu.ops.pallas.fused_block import fused_block3d
+            kernel, cbias = _SpatialConvParams(self.dim_out, c, name="project")()
+            gamma, beta = _GNParams(self.dim_out, name="norm")()
+            if scale_shift is not None:
+                scale, shift = scale_shift
+            else:
+                scale = jnp.zeros((b, self.dim_out), jnp.float32)
+                shift = jnp.zeros((b, self.dim_out), jnp.float32)
+            return fused_block3d(
+                x, kernel, cbias, gamma, beta, scale, shift, self.groups, 1e-5
+            )
+        x = SpatialConv(self.dim_out, 3, name="project", impl=self.conv_impl)(x)
         if self.norm_impl == "skip":
             # DIAGNOSTIC ONLY (perf ablation): affine + FiLM + SiLU with no
             # normalization statistics — isolates the GN-stats cost in
@@ -243,11 +346,33 @@ class CrossAttention(nn.Module):
         return ScaleOnlyLayerNorm(name="out_norm")(out)
 
 
+def rotary_embed(x: jnp.ndarray, positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Rotary position embedding on (..., n, d): rotate consecutive pairs.
+    Same frequency basis as dalle2-pytorch's RotaryEmbedding (theta 10000)."""
+    n, d = x.shape[-2], x.shape[-1]
+    half = d // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) / half))
+    pos = jnp.arange(n, dtype=jnp.float32) if positions is None else positions
+    angles = pos[:, None] * freqs[None, :]  # (n, half)
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    shape = (1,) * (x.ndim - 2) + (n, half)
+    cos, sin = cos.reshape(shape), sin.reshape(shape)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    ).astype(x.dtype)
+
+
 class Attention(nn.Module):
     """Self-attention, multi-query (q heads share one kv head) with a learned
     null kv — inherited dalle2-pytorch Attention semantics (SURVEY.md §2b).
     MQA cuts kv HBM traffic ~heads-fold: ideal for the 23k-token joint t*h*w
-    bottleneck (reference dalle2_video.py:430-431, 542-558)."""
+    bottleneck (reference dalle2_video.py:430-431, 542-558).
+
+    ``rotary`` applies rotary position embedding to q/k of the REAL tokens
+    (the learned null kv stays unrotated — it has no position), matching
+    dalle2-pytorch CausalTransformer's rotary_emb. ``attn_bias`` (call arg)
+    is an additive (heads, n, m) sim bias for T5-style relative positions."""
 
     dim: int
     heads: int = 8
@@ -255,10 +380,12 @@ class Attention(nn.Module):
     causal: bool = False
     cosine_sim: bool = False
     cosine_sim_scale: float = 16.0
+    rotary: bool = False
     impl: str = "xla"  # "xla" | "flash" (Pallas streaming kernel, fwd-only)
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 attn_bias: Optional[jnp.ndarray] = None):
         b, n, _ = x.shape
         h, d = self.heads, self.dim_head
         inner = h * d
@@ -269,6 +396,9 @@ class Attention(nn.Module):
         k, v = jnp.split(kv, 2, axis=-1)  # (b, n, d) single kv head
 
         q = q.reshape(b, n, h, d)
+        if self.rotary:
+            q = rotary_embed(q.swapaxes(1, 2)).swapaxes(1, 2)
+            k = rotary_embed(k)
         null_kv = self.param("null_kv", nn.initializers.normal(1.0), (2, d))
         k = jnp.concatenate([jnp.broadcast_to(null_kv[0], (b, 1, d)), k], axis=1)
         v = jnp.concatenate([jnp.broadcast_to(null_kv[1], (b, 1, d)), v], axis=1)
@@ -279,12 +409,16 @@ class Attention(nn.Module):
         else:
             scale = d**-0.5
 
-        if self.impl == "flash" and mask is None and not self.causal:
+        if (self.impl == "flash" and mask is None and not self.causal
+                and attn_bias is None):
             from dalle2_video_tpu.ops.pallas.flash_mqa import mqa_attention
 
             out = mqa_attention(q, k, v, sm_scale=scale).reshape(b, n, inner)
         else:
             sim = jnp.einsum("bnhd,bmd->bhnm", q * scale, k)
+            if attn_bias is not None:
+                # bias covers real tokens; null kv column gets zero bias
+                sim = sim + jnp.pad(attn_bias, ((0, 0), (0, 0), (1, 0)))[None]
             if mask is not None:
                 m = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
                 sim = jnp.where(m[:, None, None, :], sim, jnp.finfo(sim.dtype).min)
@@ -397,6 +531,7 @@ class ResnetBlock3D(nn.Module):
     cosine_sim_cross_attn: bool = False
     norm_impl: str = "xla"
     attn_impl: str = "xla"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, time_emb=None, cond=None):
@@ -407,7 +542,7 @@ class ResnetBlock3D(nn.Module):
             scale_shift = jnp.split(te, 2, axis=-1)
 
         h = Block3D(self.dim_out, groups=self.groups, norm_impl=self.norm_impl,
-                    name="block1")(x, scale_shift)
+                    conv_impl=self.conv_impl, name="block1")(x, scale_shift)
 
         if self.cond_dim is not None:
             assert cond is not None, "cross-attention block requires cond tokens"
@@ -426,7 +561,7 @@ class ResnetBlock3D(nn.Module):
             h = tokens.reshape(b, t, hh, ww, c)
 
         h = Block3D(self.dim_out, groups=self.groups, norm_impl=self.norm_impl,
-                    name="block2")(h)
+                    conv_impl=self.conv_impl, name="block2")(h)
 
         if x.shape[-1] != self.dim_out:
             x = SpatialConv(self.dim_out, 1, name="res_conv")(x)

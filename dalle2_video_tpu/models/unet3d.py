@@ -110,6 +110,8 @@ class UNet3DConfig:
     attention_impl: str = "xla"
     # "xla" | "pallas": pallas fuses GroupNorm+FiLM+SiLU (custom VJP)
     groupnorm_impl: str = "xla"
+    # "pallas_small": pixel-pair-packed Pallas fwd at small-spatial 3x3 sites
+    spatial_conv_impl: str = "xla"
     # "xla" | "flash": fused Pallas cross-attention. Separate from
     # attention_impl because it measured SLOWER than the context-major XLA
     # path on v5e (17.7 vs 30 sampling steps/s — it breaks projection-chain
@@ -368,6 +370,7 @@ class UNet3D(nn.Module):
                 time_cond_dim=time_cond_dim,
                 groups=groups_per[0],
                 norm_impl=cfg.groupnorm_impl,
+                conv_impl=cfg.spatial_conv_impl,
                 attn_impl=cfg.cross_attention_impl,
                 name="init_resnet_block",
             )(x, t)
@@ -390,6 +393,7 @@ class UNet3D(nn.Module):
                 time_cond_dim=time_cond_dim,
                 groups=groups,
                 norm_impl=cfg.groupnorm_impl,
+                conv_impl=cfg.spatial_conv_impl,
                 attn_impl=cfg.cross_attention_impl,
                 name=f"down{ind}_init_block",
             )(x, t)
@@ -402,6 +406,7 @@ class UNet3D(nn.Module):
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                     norm_impl=cfg.groupnorm_impl,
+                    conv_impl=cfg.spatial_conv_impl,
                     attn_impl=cfg.cross_attention_impl,
                     name=f"down{ind}_block{j}",
                 )(x, t, c)
@@ -427,6 +432,7 @@ class UNet3D(nn.Module):
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
             norm_impl=cfg.groupnorm_impl,
+            conv_impl=cfg.spatial_conv_impl,
             attn_impl=cfg.cross_attention_impl,
             name="mid_block1",
         )(x, t, mid_c)
@@ -448,6 +454,7 @@ class UNet3D(nn.Module):
             groups=groups_per[-1],
             cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
             norm_impl=cfg.groupnorm_impl,
+            conv_impl=cfg.spatial_conv_impl,
             attn_impl=cfg.cross_attention_impl,
             name="mid_block2",
         )(x, t, mid_c)
@@ -473,6 +480,7 @@ class UNet3D(nn.Module):
                 groups=groups,
                 cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                 norm_impl=cfg.groupnorm_impl,
+                conv_impl=cfg.spatial_conv_impl,
                 attn_impl=cfg.cross_attention_impl,
                 name=f"up{ind}_init_block",
             )(x, t, c)
@@ -486,6 +494,7 @@ class UNet3D(nn.Module):
                     groups=groups,
                     cosine_sim_cross_attn=cfg.cosine_sim_cross_attn,
                     norm_impl=cfg.groupnorm_impl,
+                    conv_impl=cfg.spatial_conv_impl,
                     attn_impl=cfg.cross_attention_impl,
                     name=f"up{ind}_block{j}",
                 )(x, t, c)
@@ -509,6 +518,7 @@ class UNet3D(nn.Module):
             time_cond_dim=time_cond_dim,
             groups=groups_per[0],
             norm_impl=cfg.groupnorm_impl,
+            conv_impl=cfg.spatial_conv_impl,
             attn_impl=cfg.cross_attention_impl,
             name="final_resnet_block",
         )(x, t)

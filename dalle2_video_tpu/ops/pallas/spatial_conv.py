@@ -232,3 +232,45 @@ conv3x3_packed.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
 def conv3x3_spatial(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
     """Unpacked-layout convenience wrapper: (N, H, W, C) in/out."""
     return unpack_width(conv3x3_packed(pack_width(x), w, interpret))
+
+
+# --------------------------------------------------------------------- #
+# hybrid: Pallas forward, XLA backward
+# --------------------------------------------------------------------- #
+# Measured (docs/PERF.md round-2 conv microbenches): the packed Pallas
+# forward beats XLA 2x at small-spatial/high-C geometries (43.7 vs 21.7
+# TF/s at 8x8/C=512, halo-dominated XLA fwd), but XLA's conv VJP runs at
+# 146 TF/s there — 3x faster than the Pallas dx/wgrad kernels. So the
+# production variant keeps the Pallas forward and routes the backward
+# through jax.vjp of the equivalent XLA conv.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_packed_xbwd(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
+    return conv3x3_packed(xp, w, interpret)
+
+
+def _xbwd_fwd(xp, w, interpret):
+    return conv3x3_packed(xp, w, interpret), (xp, w)
+
+
+def _xbwd_bwd(interpret, res, g):
+    xp, w = res
+
+    def ref_conv(x_, w_):
+        return jax.lax.conv_general_dilated(
+            x_, w_.astype(x_.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, vjp = jax.vjp(ref_conv, unpack_width(xp), w)
+    dx, dw = vjp(unpack_width(g).astype(xp.dtype))
+    return pack_width(dx).astype(xp.dtype), dw.astype(w.dtype)
+
+
+conv3x3_packed_xbwd.defvjp(_xbwd_fwd, _xbwd_bwd)
+
+
+def conv3x3_spatial_xbwd(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
+    """(N, H, W, C) in/out; Pallas fwd + XLA bwd."""
+    return unpack_width(conv3x3_packed_xbwd(pack_width(x), w, interpret))

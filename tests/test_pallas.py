@@ -305,3 +305,178 @@ def test_groupnorm_bwd_all_five_grads():
     go = jax.grad(lo, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, scale, shift)
     for a, b_ in zip(gk, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+# --------------------------------------------------------------------- #
+# fused Block3D megakernel (conv + bias + GN + FiLM + SiLU)
+# --------------------------------------------------------------------- #
+def _fused_block_oracle(x, wk, bias, gamma, beta, scale, shift, groups, eps):
+    from dalle2_video_tpu.ops.pallas.groupnorm_film import _reference_math
+
+    b, t, h, wd, c = x.shape
+    co = wk.shape[3]
+    y = jax.lax.conv_general_dilated(
+        x.reshape(b * t, h, wd, c), wk, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias[None, None, None, :]
+    out = _reference_math(
+        y.reshape(b, t * h * wd, co), gamma, beta, scale, shift, groups, eps
+    )
+    return out.reshape(b, t, h, wd, co)
+
+
+@pytest.mark.parametrize("shape,co", [((2, 3, 8, 8, 8), 16), ((1, 2, 16, 8, 16), 8)])
+def test_fused_block_matches_oracle(shape, co):
+    """fused_block3d fwd == conv + GroupNorm + FiLM + SiLU composed in XLA
+    (multi-bh-block second case exercises the VMEM halo across fori steps)."""
+    from dalle2_video_tpu.ops.pallas.fused_block import fused_block3d
+
+    b, t, h, wd, c = shape
+    groups, eps = 4, 1e-5
+    keys = jax.random.split(jax.random.PRNGKey(3), 7)
+    x = jax.random.normal(keys[0], shape)
+    wk = jax.random.normal(keys[1], (3, 3, c, co)) * 0.2
+    bias = jax.random.normal(keys[2], (co,)) * 0.1
+    gamma = 1.0 + jax.random.normal(keys[3], (co,)) * 0.1
+    beta = jax.random.normal(keys[4], (co,)) * 0.2
+    scale = jax.random.normal(keys[5], (b, co)) * 0.1
+    shift = jax.random.normal(keys[6], (b, co)) * 0.2
+    ref = _fused_block_oracle(x, wk, bias, gamma, beta, scale, shift, groups, eps)
+    got = fused_block3d(x, wk, bias, gamma, beta, scale, shift, groups, eps, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_block_all_seven_grads():
+    """Custom VJP vs oracle autodiff on every differentiable input
+    (incl. the closed-form dbias that reuses the kernels' accumulators)."""
+    from dalle2_video_tpu.ops.pallas.fused_block import fused_block3d
+
+    b, t, h, wd, c, co, groups = 2, 2, 8, 8, 8, 16, 4
+    keys = jax.random.split(jax.random.PRNGKey(4), 7)
+    x = jax.random.normal(keys[0], (b, t, h, wd, c))
+    wk = jax.random.normal(keys[1], (3, 3, c, co)) * 0.2
+    bias = jax.random.normal(keys[2], (co,)) * 0.1
+    gamma = 1.0 + jax.random.normal(keys[3], (co,)) * 0.1
+    beta = jax.random.normal(keys[4], (co,)) * 0.2
+    scale = jax.random.normal(keys[5], (b, co)) * 0.1
+    shift = jax.random.normal(keys[6], (b, co)) * 0.2
+
+    def lp(*args):
+        return jnp.sum(fused_block3d(*args, groups, 1e-5, True) ** 2)
+
+    def lr(*args):
+        return jnp.sum(_fused_block_oracle(*args, groups, 1e-5) ** 2)
+
+    gp = jax.grad(lp, argnums=tuple(range(7)))(x, wk, bias, gamma, beta, scale, shift)
+    gr = jax.grad(lr, argnums=tuple(range(7)))(x, wk, bias, gamma, beta, scale, shift)
+    names = ["dx", "dw", "dbias", "dgamma", "dbeta", "dscale", "dshift"]
+    for name, a, r in zip(names, gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-4, err_msg=name
+        )
+
+
+def test_block3d_fused_matches_xla():
+    """Block3D norm_impl='fused' (whole-block megakernel) must match the XLA
+    path on the SAME params — the param-tree twin (_SpatialConvParams) makes
+    checkpoints interchangeable between impls."""
+    import unittest.mock as mock
+
+    from dalle2_video_tpu.models.layers import Block3D
+    from dalle2_video_tpu.ops.pallas import fused_block
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 8, 8, 8))
+    ss = (
+        jax.random.normal(jax.random.PRNGKey(1), (2, 16)) * 0.1,
+        jax.random.normal(jax.random.PRNGKey(2), (2, 16)) * 0.1,
+    )
+    xla_block = Block3D(16, groups=4, norm_impl="xla")
+    fu_block = Block3D(16, groups=4, norm_impl="fused")
+    params = xla_block.init(jax.random.PRNGKey(3), x, ss)
+    out_xla = xla_block.apply(params, x, ss)
+
+    orig = fused_block._fwd_impl
+    with mock.patch.object(
+        fused_block, "_fwd_impl",
+        lambda *a: orig(*a[:-1], True),
+    ):
+        params_fu = fu_block.init(jax.random.PRNGKey(3), x, ss)
+        assert jax.tree_util.tree_structure(
+            params
+        ) == jax.tree_util.tree_structure(params_fu)
+        out_fu = fu_block.apply(params, x, ss)
+        out_fu_nofilm = fu_block.apply(params, x, None)
+    np.testing.assert_allclose(np.asarray(out_fu), np.asarray(out_xla), atol=3e-5)
+    out_xla_nofilm = xla_block.apply(params, x, None)
+    np.testing.assert_allclose(
+        np.asarray(out_fu_nofilm), np.asarray(out_xla_nofilm), atol=3e-5
+    )
+
+
+def test_spatial_conv_hybrid_xla_backward():
+    """conv3x3_spatial_xbwd: Pallas fwd + XLA bwd — fwd and both grads
+    match the lax.conv oracle (the production small-stage wiring)."""
+    from dalle2_video_tpu.ops.pallas.spatial_conv import conv3x3_spatial_xbwd
+
+    n, h, w, c = 2, 8, 8, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c))
+    wk = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c)) * 0.1
+
+    def loss_pallas(x_, w_):
+        return jnp.sum(jnp.square(conv3x3_spatial_xbwd(x_, w_, True)))
+
+    def loss_ref(x_, w_):
+        y = jax.lax.conv_general_dilated(
+            x_, w_, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return jnp.sum(jnp.square(y))
+
+    np.testing.assert_allclose(
+        float(loss_pallas(x, wk)), float(loss_ref(x, wk)), rtol=1e-5
+    )
+    gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, wk)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-4, atol=1e-3)
+
+
+def test_spatial_conv_module_pallas_small_matches_xla():
+    """SpatialConv(impl="pallas_small") == default impl: same outputs, same
+    gradients, identical param tree (checkpoints interchange)."""
+    from dalle2_video_tpu.models.layers import SpatialConv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 16, 64))
+    ref = SpatialConv(64, 3)
+    pal = SpatialConv(64, 3, impl="pallas_small")
+    p = ref.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        pal.init(jax.random.PRNGKey(1), x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(pal.apply(p, x)), np.asarray(ref.apply(p, x)), atol=2e-5
+    )
+    g_ref = jax.grad(lambda pp: jnp.sum(ref.apply(pp, x) ** 2))(p)
+    g_pal = jax.grad(lambda pp: jnp.sum(pal.apply(pp, x) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_spatial_conv_pallas_small_fallback_geometries():
+    """Non-qualifying sites (large spatial, odd C, 1x1, stride-2) under
+    impl="pallas_small" still route through XLA and stay exact."""
+    from dalle2_video_tpu.models.layers import SpatialConv
+
+    # large spatial (h*w > 256) -> XLA branch of the same module
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 32, 32, 64))
+    ref, pal = SpatialConv(64, 3), SpatialConv(64, 3, impl="pallas_small")
+    p = ref.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(pal.apply(p, x)), np.asarray(ref.apply(p, x)), atol=2e-5
+    )
+    # 1x1 conv ignores impl entirely
+    ref1, pal1 = SpatialConv(32, 1), SpatialConv(32, 1, impl="pallas_small")
+    x1 = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 8, 8, 64))
+    p1 = ref1.init(jax.random.PRNGKey(3), x1)
+    np.testing.assert_allclose(
+        np.asarray(pal1.apply(p1, x1)), np.asarray(ref1.apply(p1, x1)), atol=2e-5
+    )
