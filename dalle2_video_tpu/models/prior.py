@@ -35,34 +35,83 @@ from dalle2_video_tpu.utils.contrastive import l2_normalize
 
 
 class _FF(nn.Module):
+    """Feed-forward block. ``swiglu=True`` is the faithful dalle2-pytorch
+    FeedForward (swish-GLU gate: Dense(2*inner) -> a * silu(gate));
+    ``swiglu=False`` keeps the round-1 GELU variant for checkpoint compat."""
+
     dim: int
     mult: int = 4
+    swiglu: bool = True
 
     @nn.compact
     def __call__(self, x):
         y = ScaleOnlyLayerNorm(name="norm")(x)
-        y = nn.Dense(self.dim * self.mult, use_bias=False, kernel_init=torch_kernel_init)(y)
-        y = nn.gelu(y, approximate=False)
+        if self.swiglu:
+            y = nn.Dense(self.dim * self.mult * 2, use_bias=False,
+                         kernel_init=torch_kernel_init)(y)
+            a, gate = jnp.split(y, 2, axis=-1)
+            y = a * nn.silu(gate)
+        else:
+            y = nn.Dense(self.dim * self.mult, use_bias=False,
+                         kernel_init=torch_kernel_init)(y)
+            y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init)(y)
         return x + y
 
 
+class RelPosBias(nn.Module):
+    """T5-style bucketed relative position bias (dalle2-pytorch
+    CausalTransformer.rel_pos_bias semantics): learned (buckets, heads)
+    table -> additive (heads, n, n) sim bias, causal bucketing."""
+
+    heads: int
+    num_buckets: int = 32
+    max_distance: int = 128
+
+    @nn.compact
+    def __call__(self, n: int) -> jnp.ndarray:
+        table = self.param(
+            "table", nn.initializers.normal(0.02), (self.num_buckets, self.heads)
+        )
+        q_pos = jnp.arange(n)[:, None]
+        k_pos = jnp.arange(n)[None, :]
+        rel = k_pos - q_pos  # <=0 in the causal region
+        # causal bucketing: -rel in [0, inf); half the buckets are exact,
+        # the rest log-spaced up to max_distance
+        rel = -jnp.clip(rel, a_max=0)
+        exact = self.num_buckets // 2
+        is_small = rel < exact
+        log_ratio = jnp.log(rel.astype(jnp.float32) / exact + 1e-6) / jnp.log(
+            self.max_distance / exact
+        )
+        large = exact + (log_ratio * (self.num_buckets - exact)).astype(jnp.int32)
+        large = jnp.clip(large, a_max=self.num_buckets - 1)
+        buckets = jnp.where(is_small, rel, large)
+        return table[buckets].transpose(2, 0, 1)  # (heads, n, n)
+
+
 class CausalTransformer(nn.Module):
-    """Pre-norm causal transformer (dalle2-pytorch CausalTransformer shape)."""
+    """Pre-norm causal transformer (dalle2-pytorch CausalTransformer shape:
+    rotary embedding + T5 rel-pos bias + swish-GLU FF by default)."""
 
     dim: int
     depth: int
     heads: int
     dim_head: int
+    rotary: bool = True
+    rel_pos_bias: bool = True
+    swiglu_ff: bool = True
 
     @nn.compact
     def __call__(self, x):
+        n = x.shape[1]
+        bias = RelPosBias(self.heads, name="rel_pos_bias")(n) if self.rel_pos_bias else None
         for i in range(self.depth):
             x = x + Attention(
                 self.dim, heads=self.heads, dim_head=self.dim_head,
-                causal=True, name=f"attn{i}",
-            )(x)
-            x = _FF(self.dim, name=f"ff{i}")(x)
+                causal=True, rotary=self.rotary, name=f"attn{i}",
+            )(x, attn_bias=bias)
+            x = _FF(self.dim, swiglu=self.swiglu_ff, name=f"ff{i}")(x)
         return nn.LayerNorm(name="final_norm")(x)
 
 
@@ -76,6 +125,11 @@ class PriorNetworkConfig:
     cond_on_text_encodings: bool = False
     text_encoding_dim: Optional[int] = None
     self_cond: bool = False
+    # dalle2-pytorch CausalTransformer fidelity knobs (ROADMAP #8); all
+    # default to the faithful behavior — set False for round-1 checkpoints
+    rotary_emb: bool = True
+    rel_pos_bias: bool = True
+    swiglu_ff: bool = True
 
 
 class DiffusionPriorNetwork(nn.Module):
@@ -138,7 +192,9 @@ class DiffusionPriorNetwork(nn.Module):
         ])
         seq = jnp.concatenate(tokens, axis=1)
         out = CausalTransformer(
-            d, cfg.depth, cfg.heads, cfg.dim_head, name="transformer"
+            d, cfg.depth, cfg.heads, cfg.dim_head,
+            rotary=cfg.rotary_emb, rel_pos_bias=cfg.rel_pos_bias,
+            swiglu_ff=cfg.swiglu_ff, name="transformer",
         )(seq)
         return out[:, -1]  # prediction read from the learned-query position
 

@@ -81,14 +81,19 @@ def main() -> None:
     gstep = 0
 
     for epoch in range(pc["epochs"]):
+        epoch_losses = []
         for batch in train_loader:
             key, k = jax.random.split(key)
             params, opt_state, loss = step(
                 params, opt_state, k,
                 jnp.asarray(batch["video_embeds"]), jnp.asarray(batch["text_embeds"]),
             )
+            epoch_losses.append(float(loss))
             gstep += 1
-        mlog.log({"train/loss": float(loss)}, step=gstep)
+        # epoch-MEAN loss (matches reference epoch-mean logging, not
+        # last-batch noise — reference train_clip.py:172-191 pattern)
+        if epoch_losses:
+            mlog.log({"train/loss": float(np.mean(epoch_losses))}, step=gstep)
 
         vals = []
         for batch in val_loader:

@@ -111,3 +111,82 @@ def test_dalle2video_end_to_end(prior):
     )
     assert vid.shape == (2, 2, 8, 8, 3)
     assert np.all(np.isfinite(np.asarray(vid)))
+
+
+def test_rotary_embed_properties():
+    """Rotation preserves norms and gives relative-position-dependent dots
+    (models/layers.rotary_embed; dalle2-pytorch rotary_emb parity)."""
+    import numpy as np
+
+    from dalle2_video_tpu.models.layers import rotary_embed
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+    r = rotary_embed(x)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(r), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5,
+    )
+    # dot of rotated(q_i), rotated(k_j) depends only on (i - j): shift both
+    q = jax.random.normal(jax.random.PRNGKey(1), (1, 16))
+    k = jax.random.normal(jax.random.PRNGKey(2), (1, 16))
+    def dot_at(i, j, n=12):
+        qs = jnp.zeros((n, 16)).at[i].set(q[0])
+        ks = jnp.zeros((n, 16)).at[j].set(k[0])
+        return float(jnp.sum(rotary_embed(qs)[i] * rotary_embed(ks)[j]))
+    np.testing.assert_allclose(dot_at(2, 5), dot_at(4, 7), rtol=1e-5)
+
+
+def test_rel_pos_bias_causal_buckets():
+    """Bias depends only on (query - key) distance; shape (heads, n, n)."""
+    import numpy as np
+
+    from dalle2_video_tpu.models.prior import RelPosBias
+
+    mod = RelPosBias(heads=4)
+    params = mod.init(jax.random.PRNGKey(0), 8)
+    b = mod.apply(params, 8)
+    assert b.shape == (4, 8, 8)
+    bn = np.asarray(b)
+    # same relative distance -> same bias
+    np.testing.assert_allclose(bn[:, 3, 1], bn[:, 5, 3])
+    # the causal region (k <= q) must distinguish near from far
+    assert not np.allclose(bn[:, 7, 6], bn[:, 7, 0])
+
+
+def test_prior_faithful_transformer_trains():
+    """rotary + rel-pos-bias + swiglu prior (ROADMAP #8 defaults): loss
+    finite and decreasing on a tiny overfit task."""
+    import numpy as np
+    import optax
+
+    from dalle2_video_tpu.models.prior import (
+        DiffusionPrior,
+        DiffusionPriorConfig,
+        PriorNetworkConfig,
+    )
+
+    prior = DiffusionPrior(DiffusionPriorConfig(
+        network=PriorNetworkConfig(dim=32, depth=2, heads=2, dim_head=8),
+        timesteps=32,
+    ))
+    params = prior.init_params(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    te = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    ve = jax.random.normal(jax.random.PRNGKey(2), (4, 32))
+
+    @jax.jit
+    def step(p, o, key):
+        loss, g = jax.value_and_grad(lambda pp: prior.loss(pp, key, ve, te))(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(40):
+        key, k = jax.random.split(key)
+        p_or = params
+        params, opt, loss = step(params, opt, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
