@@ -1,0 +1,197 @@
+"""VQGAN-VAE adversarial trainer — the training stage the reference never
+shipped (it pip-imports dalle2-pytorch's VQGanVAE but only ever constructs
+NullVQGanVAE; reference dalle2_video.py:14,1294-1296). This provides the
+full capability so latent video diffusion (models/vqvae.py + the
+VideoDecoder latent hooks) can be trained end-to-end.
+
+Loss recipe follows taming-transformers/VQGAN (the lineage dalle2-pytorch's
+vqgan_vae.py implements):
+  G:  L1 recon + perceptual + codebook/commit + lambda_adapt * hinge-G
+  D:  hinge(real, stop_grad(recon)), gated until ``disc_start`` steps
+  lambda_adapt = ||grad_dec(L_rec)|| / (||grad_dec(L_adv)|| + 1e-4),
+                 clipped to 1e4, scaled by disc_weight  (adaptive balance)
+
+Divergences (documented, TPU-first):
+  * lambda uses the decoder-subtree gradient norm rather than only the
+    final conv layer's — leaf-name-agnostic across VAE architectures,
+    same balancing role.
+  * perceptual term is a multi-scale image-gradient L1 proxy: pretrained
+    VGG/LPIPS weights are not available in this environment (zero egress);
+    swap in ``perceptual_fn`` when a feature net is available.
+  * both G and D update every step inside ONE jitted function (two optax
+    states), gates via jnp.where — no Python-level branch on step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dalle2_video_tpu.models.discriminator import (
+    PatchDiscriminator,
+    hinge_d_loss,
+    hinge_g_loss,
+)
+from dalle2_video_tpu.models.vqvae import VQVAE
+
+
+def gradient_l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Multi-scale image-gradient L1 — handcrafted perceptual proxy."""
+    total = 0.0
+    for s in (1, 2, 4):
+        if s > 1:
+            aa = jax.image.resize(a, (*a.shape[:2], a.shape[2] // s,
+                                      a.shape[3] // s, a.shape[4]), "linear")
+            bb = jax.image.resize(b, (*b.shape[:2], b.shape[2] // s,
+                                      b.shape[3] // s, b.shape[4]), "linear")
+        else:
+            aa, bb = a, b
+        dxa = aa[:, :, :, 1:] - aa[:, :, :, :-1]
+        dxb = bb[:, :, :, 1:] - bb[:, :, :, :-1]
+        dya = aa[:, :, 1:] - aa[:, :, :-1]
+        dyb = bb[:, :, 1:] - bb[:, :, :-1]
+        total = total + jnp.mean(jnp.abs(dxa - dxb)) + jnp.mean(jnp.abs(dya - dyb))
+    return total / 3.0
+
+
+@dataclasses.dataclass(frozen=True)
+class VQGanTrainerConfig:
+    lr_g: float = 1e-4
+    lr_d: float = 1e-4
+    betas: Tuple[float, float] = (0.5, 0.9)  # taming's Adam betas
+    disc_start: int = 1000
+    disc_weight: float = 0.8
+    perceptual_weight: float = 1.0
+    grad_clip: float = 1.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VQGanTrainState:
+    vae_params: Any
+    disc_params: Any
+    opt_g: Any
+    opt_d: Any
+    step: jnp.ndarray
+
+
+class VQGanTrainer:
+    def __init__(
+        self,
+        vae: VQVAE,
+        disc: PatchDiscriminator = None,
+        cfg: VQGanTrainerConfig = VQGanTrainerConfig(),
+        perceptual_fn: Optional[Callable] = None,
+    ):
+        self.vae = vae
+        self.disc = disc if disc is not None else PatchDiscriminator()
+        self.cfg = cfg
+        self.perceptual_fn = perceptual_fn or gradient_l1
+        adam = lambda lr: optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+            optax.scale_by_learning_rate(lr),
+        )
+        self.tx_g = adam(cfg.lr_g)
+        self.tx_d = adam(cfg.lr_d)
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, rng: jax.Array, frame_size: int = 64,
+                   frames: int = 4) -> VQGanTrainState:
+        kv, kd = jax.random.split(rng)
+        vae_params = self.vae.init_params(kv, frame_size, frames)
+        x = jnp.zeros((1, frames, frame_size, frame_size, self.vae.channels))
+        disc_params = self.disc.init(kd, x)
+        return VQGanTrainState(
+            vae_params=vae_params,
+            disc_params=disc_params,
+            opt_g=self.tx_g.init(vae_params),
+            opt_d=self.tx_d.init(disc_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ #
+    def _recon(self, vae_params, video):
+        z = self.vae._enc().apply(vae_params["encoder"], video)
+        quant, _, vq_loss = self.vae._vq().apply(vae_params["vq"], z)
+        recon = self.vae._dec().apply(vae_params["decoder"], quant)
+        return recon, vq_loss
+
+    def train_step(
+        self, state: VQGanTrainState, video: jnp.ndarray
+    ) -> Tuple[VQGanTrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        gate = (state.step >= cfg.disc_start).astype(jnp.float32)
+
+        # ---- generator: two grad passes so lambda can balance them ----
+        def rec_losses(vae_params):
+            recon, vq_loss = self._recon(vae_params, video)
+            rec = jnp.mean(jnp.abs(recon - video))
+            rec = rec + cfg.perceptual_weight * self.perceptual_fn(recon, video)
+            return rec + vq_loss, (recon, rec, vq_loss)
+
+        def adv_loss(vae_params):
+            recon, _ = self._recon(vae_params, video)
+            logits_fake = self.disc.apply(
+                jax.lax.stop_gradient(state.disc_params), recon
+            )
+            return hinge_g_loss(logits_fake)
+
+        (_, (recon, rec, vq_loss)), g_rec = jax.value_and_grad(
+            rec_losses, has_aux=True
+        )(state.vae_params)
+        g_adv_val, g_adv = jax.value_and_grad(adv_loss)(state.vae_params)
+
+        def subtree_norm(tree):
+            leaves = jax.tree_util.tree_leaves(tree["decoder"])
+            return jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves))
+
+        lam = subtree_norm(g_rec) / (subtree_norm(g_adv) + 1e-4)
+        lam = jnp.clip(lam, 0.0, 1e4) * cfg.disc_weight * gate
+        grads = jax.tree_util.tree_map(lambda a, b: a + lam * b, g_rec, g_adv)
+        upd_g, opt_g = self.tx_g.update(grads, state.opt_g, state.vae_params)
+        vae_params = optax.apply_updates(state.vae_params, upd_g)
+
+        # ---- discriminator: hinge vs the (detached) reconstruction ----
+        fake = jax.lax.stop_gradient(recon)
+
+        def d_loss_fn(disc_params):
+            lr_ = self.disc.apply(disc_params, video)
+            lf_ = self.disc.apply(disc_params, fake)
+            return gate * hinge_d_loss(lr_, lf_), (lr_, lf_)
+
+        (d_loss, (logits_real, logits_fake)), g_d = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.disc_params)
+        upd_d, opt_d = self.tx_d.update(g_d, state.opt_d, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, upd_d)
+
+        metrics = {
+            "loss/rec": rec,
+            "loss/vq": vq_loss,
+            "loss/g_adv": g_adv_val,
+            "loss/d": d_loss,
+            "lambda_adapt": lam,
+            "logits/real": jnp.mean(logits_real),
+            "logits/fake": jnp.mean(logits_fake),
+        }
+        return (
+            VQGanTrainState(
+                vae_params=vae_params, disc_params=disc_params,
+                opt_g=opt_g, opt_d=opt_d, step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    # ------------------------------------------------------------------ #
+    def eval_recon(self, state: VQGanTrainState, video: jnp.ndarray):
+        recon, vq_loss = self._recon(state.vae_params, video)
+        return {
+            "val/rec_l1": jnp.mean(jnp.abs(recon - video)),
+            "val/psnr": -10.0 * jnp.log10(jnp.mean((recon - video) ** 2) + 1e-10),
+            "val/vq": vq_loss,
+        }
