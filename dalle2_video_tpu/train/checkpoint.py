@@ -37,6 +37,98 @@ def save_checkpoint(path: str, state: Any, *, step: Optional[int] = None, overwr
     (path / _VERSION_KEY).write_text(__version__)
 
 
+class RollingCheckpointManager:
+    """Async, step-indexed checkpointing with retention + best-K tracking
+    (ROADMAP #10; beyond the reference's torch.save last/best pair,
+    /root/reference/train_decoder.py:177-184).
+
+    * saves run in the background (orbax async) — the train loop is not
+      blocked on HBM->disk serialization
+    * keeps the newest ``max_to_keep`` step checkpoints
+    * additionally keeps the ``best_k`` checkpoints by a metric (min mode)
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        *,
+        max_to_keep: int = 3,
+        best_k: int = 1,
+        metric_key: str = "val_loss",
+    ):
+        self._dir = Path(directory).absolute()
+        self._dir.mkdir(parents=True, exist_ok=True)
+        # recency retention lives in orbax (max_to_keep newest); best-K is
+        # managed here in a separate subdirectory — orbax's best_fn mode
+        # would evict the NEWEST step when it isn't among the best, which
+        # breaks crash-resume (learned from its retention semantics).
+        self._mgr = ocp.CheckpointManager(
+            self._dir / "recent",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+        self._best_mgr = ocp.CheckpointManager(
+            self._dir / "best",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=best_k, best_fn=lambda m: m[metric_key],
+                best_mode="min", enable_async_checkpointing=True,
+            ),
+        ) if best_k else None
+        self._metric_key = metric_key
+        (self._dir / _VERSION_KEY).write_text(__version__)
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if self._best_mgr is not None and metrics and self._metric_key in metrics:
+            # only materialize a best/ copy when this step beats the kept set
+            best = self._best_mgr.best_step()
+            prev = self._best_metrics() if best is not None else None
+            if prev is None or metrics[self._metric_key] < prev:
+                self._best_mgr.save(
+                    step, args=ocp.args.StandardSave(state), metrics=metrics
+                )
+
+    def _best_metrics(self) -> Optional[float]:
+        best = self._best_mgr.best_step()
+        if best is None:
+            return None
+        try:
+            m = self._best_mgr.metrics(best)
+            return None if m is None else m.get(self._metric_key)
+        except Exception:  # noqa: BLE001 — metrics sidecar missing
+            return None
+
+    def restore_latest(self, target: Any) -> Any:
+        step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self._dir}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def restore_best(self, target: Any) -> Any:
+        step = self._best_mgr.best_step() if self._best_mgr else None
+        if step is None:
+            return self.restore_latest(target)
+        return self._best_mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+        if self._best_mgr is not None:
+            self._best_mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.close()
+
+
 def load_checkpoint(path: str, target: Any) -> Any:
     """Restore into the structure/shardings of ``target`` (an abstract or
     concrete state pytree). Warns on version mismatch (reference

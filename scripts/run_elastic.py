@@ -1,0 +1,94 @@
+"""Elastic recovery supervisor: auto-restart a training script on crash or
+hang (ROADMAP #11; SURVEY §5 records the reference has NO failure
+detection — a crash kills the nohup'd run, recovery is manual restart).
+
+Wraps any entry point in scripts/ with:
+  * crash restart with exponential backoff (up to --max-restarts)
+  * hang detection via a heartbeat file the MetricsLogger already writes
+    (the run's metrics JSONL) — if it goes stale for --hang-secs the child
+    is killed (by exact PID, never by pattern) and restarted
+  * resume=true is appended on every restart so the script restores its
+    latest checkpoint
+
+Usage:
+    python scripts/run_elastic.py --hang-secs 1800 -- \
+        python scripts/train_decoder.py train_name=prod resume=true
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def newest_mtime(patterns) -> float:
+    newest = 0.0
+    for pat in patterns:
+        for f in glob.glob(pat, recursive=True):
+            try:
+                newest = max(newest, os.path.getmtime(f))
+            except OSError:
+                pass
+    return newest
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-restarts", type=int, default=10)
+    ap.add_argument("--hang-secs", type=float, default=3600.0,
+                    help="restart if no metrics-file progress for this long "
+                         "(first compile can take 20+ min on TPU — keep high)")
+    ap.add_argument("--watch", default="runs/**/*.jsonl",
+                    help="glob of heartbeat files (metrics JSONL)")
+    ap.add_argument("--backoff", type=float, default=10.0)
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="-- followed by the training command")
+    args = ap.parse_args()
+    cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
+    if not cmd:
+        ap.error("no command given (use: run_elastic.py [opts] -- python ...)")
+
+    restarts = 0
+    while True:
+        start = time.time()
+        print(f"[elastic] launch attempt {restarts + 1}: {' '.join(cmd)}",
+              flush=True)
+        child = subprocess.Popen(cmd)
+        hung = False
+        while child.poll() is None:
+            time.sleep(30.0)
+            beat = max(newest_mtime([args.watch]), start)
+            if time.time() - beat > args.hang_secs:
+                print(f"[elastic] heartbeat stale >{args.hang_secs}s — "
+                      f"killing pid {child.pid}", flush=True)
+                child.send_signal(signal.SIGTERM)
+                try:
+                    child.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    child.kill()
+                hung = True
+                break
+        rc = child.returncode
+        if rc == 0 and not hung:
+            print("[elastic] run completed cleanly", flush=True)
+            return 0
+        restarts += 1
+        if restarts > args.max_restarts:
+            print(f"[elastic] giving up after {args.max_restarts} restarts",
+                  flush=True)
+            return rc or 1
+        wait = min(args.backoff * (2 ** (restarts - 1)), 600.0)
+        print(f"[elastic] child exited rc={rc} hung={hung}; restarting in "
+              f"{wait:.0f}s (resume=true)", flush=True)
+        if "resume=true" not in cmd:
+            cmd = cmd + ["resume=true"]
+        time.sleep(wait)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -400,3 +400,61 @@ def test_nonfinite_step_skipped():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # step counter still advances (the batch was consumed)
     assert int(state2.steps[0]) == 1
+
+
+def test_rolling_checkpoint_manager(tmp_path):
+    """Async step-indexed saves, retention, best-step restore
+    (train/checkpoint.py RollingCheckpointManager, ROADMAP #10)."""
+    import jax.numpy as jnp
+
+    from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
+
+    state = {"w": jnp.arange(4.0), "step": jnp.zeros((), jnp.int32)}
+    mgr = RollingCheckpointManager(
+        str(tmp_path / "ckpts"), max_to_keep=2, best_k=1, metric_key="val_loss"
+    )
+    vals = {1: 3.0, 2: 1.0, 3: 2.0, 4: 5.0}
+    for step, v in vals.items():
+        mgr.save(step, {"w": state["w"] * step, "step": state["step"] + step},
+                 metrics={"val_loss": v})
+    mgr.wait()
+    kept = mgr.all_steps()
+    assert len(kept) <= 2, kept  # recency retention (max_to_keep)
+    assert mgr.latest_step() == 4  # newest survives even though worst
+    latest = mgr.restore_latest(
+        {"w": jnp.zeros(4), "step": jnp.zeros((), jnp.int32)}
+    )
+    assert int(latest["step"]) == 4
+    best = mgr.restore_best(
+        {"w": jnp.zeros(4), "step": jnp.zeros((), jnp.int32)}
+    )
+    assert int(best["step"]) == 2  # val_loss 1.0 was the best
+    mgr.close()
+
+
+def test_elastic_supervisor_restarts(tmp_path):
+    """run_elastic.py restarts a crashing child and appends resume=true."""
+    import subprocess
+    import sys
+    import textwrap
+
+    marker = tmp_path / "attempts.txt"
+    child = tmp_path / "flaky.py"
+    child.write_text(textwrap.dedent(f"""
+        import pathlib, sys
+        m = pathlib.Path({str(marker)!r})
+        n = int(m.read_text()) if m.exists() else 0
+        m.write_text(str(n + 1))
+        # fail the first two attempts; succeed only if resumed
+        if n < 2:
+            sys.exit(3)
+        assert "resume=true" in sys.argv, sys.argv
+        sys.exit(0)
+    """))
+    r = subprocess.run(
+        [sys.executable, "scripts/run_elastic.py", "--backoff", "0.1",
+         "--max-restarts", "5", "--", sys.executable, str(child)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert marker.read_text() == "3"
