@@ -117,6 +117,11 @@ class VideoDecoderConfig:
     # kernel (ops/pallas/flash_mqa.py); training keeps the XLA attention
     # (needs autodiff)
     flash_attention_sampling: bool = False
+    # mixed-precision SAMPLING: run the denoiser forward in this dtype
+    # ("bfloat16") while all diffusion math (posterior, thresholding, noise
+    # injection) stays f32 — the inference-side twin of
+    # DecoderTrainerConfig.bf16_compute. None = full f32 (reference parity).
+    sample_compute_dtype: Optional[str] = None
 
     @property
     def num_unets(self) -> int:
@@ -321,6 +326,30 @@ class VideoDecoder:
         """forward_with_cond_scale as ONE batched forward (reference :683-692
         runs the unet twice). cond_scale is static."""
         unet = self.sample_unets[unet_index]
+        out_dtype = x.dtype
+        cdt = self.config.sample_compute_dtype
+        if cdt is not None:
+            cdt = jnp.dtype(cdt)
+            # cast params once (loop-invariant: XLA hoists it out of the
+            # sampling scan) and the float inputs at the network boundary;
+            # the caller's diffusion math stays in out_dtype (f32)
+            unet_params = jax.tree_util.tree_map(
+                lambda a: a.astype(cdt)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                unet_params,
+            )
+            castf = (
+                lambda a: None if a is None
+                else a.astype(cdt)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a
+            )
+            x = castf(x)
+            video_embed = castf(video_embed)
+            text_encodings = castf(text_encodings)
+            lowres_cond_video = castf(lowres_cond_video)
+            self_cond = castf(self_cond)
         kwargs = dict(
             video_embed=video_embed,
             text_encodings=text_encodings,
@@ -334,7 +363,7 @@ class VideoDecoder:
                 video_keep_mask=video_keep_mask,
                 text_keep_mask=text_keep_mask,
                 **kwargs,
-            )
+            ).astype(out_dtype)
         assert self.can_classifier_guidance, (
             "decoder was not trained with conditional dropout — cannot use "
             "classifier-free guidance (reference assert :1568)"
@@ -352,6 +381,7 @@ class VideoDecoder:
             text_keep_mask=keep,
             **{k: dup(v) for k, v in kwargs.items()},
         )
+        out2 = out2.astype(out_dtype)
         logits, null_logits = out2[:b], out2[b:]
         return null_logits + (logits - null_logits) * cond_scale
 

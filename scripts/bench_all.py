@@ -51,6 +51,7 @@ def bench_sampling():
             unets=(unet,), frame_sizes=(S,), frame_numbers=(T,),
             timesteps=STEPS, sample_timesteps=sample_timesteps,
             learned_variance=False, flash_attention_sampling=True,
+            sample_compute_dtype="bfloat16",
         ))
 
     dec = make()

@@ -46,6 +46,8 @@ def build_decoder(cfg):
             timesteps=cfg["timesteps"],
             sample_timesteps=cfg.get("sample_timesteps"),
             learned_variance=cfg.get("learned_variance", False),
+            # bf16 denoiser forward at sample time (diffusion math stays f32)
+            sample_compute_dtype=cfg.get("sample_compute_dtype", "bfloat16"),
         )
     )
 

@@ -239,3 +239,52 @@ def test_chunked_sampling(cascade):
     )
     assert out.shape[0] == 3
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bf16_sampling_close_to_f32():
+    """sample_compute_dtype="bfloat16" runs the denoiser in bf16 (diffusion
+    math stays f32): same shapes/dtype out, numerically close to the f32
+    sampler. Params are perturbed because the zero-init output conv makes an
+    untrained unet output exactly 0 in ANY dtype (vacuous comparison)."""
+    base = dict(
+        unets=(tiny_unet(),),
+        frame_sizes=(8,),
+        frame_numbers=(T,),
+        timesteps=4,
+        learned_variance=False,
+    )
+    dec_f = VideoDecoder(VideoDecoderConfig(**base))
+    dec_b = VideoDecoder(
+        VideoDecoderConfig(**base, sample_compute_dtype="bfloat16")
+    )
+    params = dec_f.init_params(jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)],
+    )
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, EMB)) * 0.1
+
+    # single denoiser call: bf16 path must actually differ (it computes in
+    # bf16) but stay close, and return f32
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8, 8, 3))
+    t = jnp.zeros((B,), jnp.int32)
+    of = dec_f._unet_apply(0, params["unet_0"], x, t, video_embed=emb)
+    ob = dec_b._unet_apply(0, params["unet_0"], x, t, video_embed=emb)
+    assert ob.dtype == jnp.float32
+    d_call = float(jnp.abs(of - ob).max())
+    assert 0.0 < d_call < 0.1, d_call
+
+    # full loop stays finite and close
+    vf = dec_f.sample(params, jax.random.PRNGKey(1), batch_size=B, video_embed=emb)
+    vb = dec_b.sample(params, jax.random.PRNGKey(1), batch_size=B, video_embed=emb)
+    assert np.isfinite(np.asarray(vb)).all()
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(vf), atol=0.1)
+
+    # CFG branch (2x-batched forward) honors the cast too
+    ocfg = dec_b._unet_apply(0, params["unet_0"], x, t, video_embed=emb,
+                             cond_scale=3.0)
+    assert ocfg.dtype == jnp.float32
+    assert np.isfinite(np.asarray(ocfg)).all()
