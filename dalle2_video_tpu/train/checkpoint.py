@@ -143,3 +143,46 @@ def load_checkpoint(path: str, target: Any) -> Any:
         )
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target)
+
+
+# --------------------------------------------------------------------- #
+# layout-detecting helpers: scripts accept either the legacy last/best
+# single-dir layout or a RollingCheckpointManager directory (recent/, best/)
+# --------------------------------------------------------------------- #
+def has_checkpoint(path: str) -> bool:
+    p = Path(path).absolute()
+    if (p / "recent").exists():
+        mgr = RollingCheckpointManager(str(p))
+        try:
+            return mgr.latest_step() is not None
+        finally:
+            mgr.close()
+    return (p / "last").exists() or (p / _VERSION_KEY).exists()
+
+
+def load_latest(path: str, target: Any) -> Any:
+    """Newest state under ``path`` regardless of layout."""
+    p = Path(path).absolute()
+    if (p / "recent").exists():
+        mgr = RollingCheckpointManager(str(p))
+        try:
+            return mgr.restore_latest(target)
+        finally:
+            mgr.close()
+    if (p / "last").exists():
+        return load_checkpoint(str(p / "last"), target)
+    return load_checkpoint(str(p), target)
+
+
+def load_best(path: str, target: Any) -> Any:
+    """Best-metric state under ``path`` (falls back to newest/legacy)."""
+    p = Path(path).absolute()
+    if (p / "recent").exists():
+        mgr = RollingCheckpointManager(str(p))
+        try:
+            return mgr.restore_best(target)
+        finally:
+            mgr.close()
+    if (p / "best").exists():
+        return load_checkpoint(str(p / "best"), target)
+    return load_latest(path, target)

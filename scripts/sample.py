@@ -80,9 +80,13 @@ def main() -> None:
     decoder = build_decoder(cfg)
     trainer = build_trainer(cfg, decoder)
     state = trainer.init_state(jax.random.PRNGKey(0))
-    dec_ckpt = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}" / "best"
+    dec_ckpt = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}"
     if dec_ckpt.exists():
-        state = load_checkpoint(str(dec_ckpt), state)
+        from dalle2_video_tpu.train.checkpoint import load_best
+
+        # best-by-val state from either layout (RollingCheckpointManager
+        # recent/+best/ directories or the legacy last/best pair)
+        state = load_best(str(dec_ckpt), state)
         log.info("loaded decoder %s", dec_ckpt)
     dec_params = trainer.sampling_params(state)
 

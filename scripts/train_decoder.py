@@ -1,9 +1,9 @@
 """Stage-3 entry point: train the cascaded video decoder.
 
 Rebuild of reference ``train_decoder.py``: two-unet cascade (base 64px +
-spatial SR 128px), both unets trained each batch, val pass, best/last
-checkpoints — with GSPMD data-parallel sharding instead of
-accelerate/DeepSpeed. Usage:
+spatial SR 128px), both unets trained each batch, val pass, async rolling
+checkpoints (newest-K + best-by-val) — with GSPMD data-parallel sharding
+instead of accelerate/DeepSpeed. Usage:
 
     python scripts/train_decoder.py [configs/celebv_text.yaml] [key=value ...]
     python scripts/train_decoder.py smoke=true        # synthetic-data smoke run
@@ -78,7 +78,6 @@ def main() -> None:
     from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset, split_indices
     from dalle2_video_tpu.parallel import create_mesh, shard_batch
     from dalle2_video_tpu.parallel.sharded import make_sharded_train_step, shard_state
-    from dalle2_video_tpu.train.checkpoint import save_checkpoint
     from dalle2_video_tpu.utils import MetricsLogger, config_from_argv
 
     cfg = config_from_argv("configs/celebv_text.yaml")
@@ -153,16 +152,29 @@ def main() -> None:
     rng = jax.random.PRNGKey(cfg["seed"])
     state = shard_state(trainer.init_state(rng), mesh)
 
-    # crash recovery: resume=true reloads the rolling `last` checkpoint
+    # crash recovery: resume=true reloads the newest rolling checkpoint
     # (replaces the reference's manual-restart + trainer.load flow,
     # SURVEY.md §5 failure-detection entry)
     ckpt_dir = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}"
-    if bool(cfg.get("resume", False)) and (ckpt_dir / "last").exists():
-        from dalle2_video_tpu.train.checkpoint import load_checkpoint
+    from dalle2_video_tpu.train.checkpoint import (
+        RollingCheckpointManager,
+        has_checkpoint,
+        load_latest,
+    )
 
-        state = load_checkpoint(str(ckpt_dir / "last"), state)
-        log.info("resumed from %s at steps %s", ckpt_dir / "last",
+    if bool(cfg.get("resume", False)) and has_checkpoint(str(ckpt_dir)):
+        state = load_latest(str(ckpt_dir), state)
+        log.info("resumed from %s at steps %s", ckpt_dir,
                  np.asarray(state.steps))
+    # async rolling saves: newest-K + best-1 by val loss, background
+    # serialization (RollingCheckpointManager; legacy last/best layouts
+    # remain readable via the load_* helpers)
+    ckpt_mgr = RollingCheckpointManager(
+        str(ckpt_dir),
+        max_to_keep=int(cfg.get("ckpt_keep", 3)),
+        best_k=1,
+        metric_key="val_loss",
+    )
     steps = {
         u: make_sharded_train_step(trainer, mesh, u, donate_state=False)
         for u in (1, 2)
@@ -188,7 +200,6 @@ def main() -> None:
 
     mlog = MetricsLogger(cfg["run_dir"], f"decoder_{cfg['train_name']}",
                          cfg["use_wandb"], cfg)
-    best_val = float("inf")
     key = rng
 
     for epoch in range(epochs):
@@ -253,12 +264,13 @@ def main() -> None:
             v1, v2 = np.mean(val_sums[1]), np.mean(val_sums[2])
             mlog.log({"val/loss_unet1": v1, "val/loss_unet2": v2},
                      step=int(state.steps[0]))
-            save_checkpoint(str(ckpt_dir / "last"), state)
-            if v1 + v2 < best_val:
-                best_val = v1 + v2
-                save_checkpoint(str(ckpt_dir / "best"), state)
+            step_now = int(state.steps[0])
+            if ckpt_mgr.latest_step() != step_now:  # zero-batch epoch guard
+                ckpt_mgr.save(step_now, state,
+                              metrics={"val_loss": float(v1 + v2)})
         log.info("epoch %d done", epoch)
 
+    ckpt_mgr.close()
     mlog.close()
     log.info("training complete")
 
