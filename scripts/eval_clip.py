@@ -20,7 +20,6 @@ import numpy as np
 def main() -> None:
     from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset
     from dalle2_video_tpu.models.vivit import ViViTConfig
-    from dalle2_video_tpu.train.checkpoint import load_checkpoint
     from dalle2_video_tpu.train.clip_trainer import ClipTrainer
     from dalle2_video_tpu.utils import config_from_argv
 
@@ -50,9 +49,10 @@ def main() -> None:
 
     sample = next(iter(BatchLoader(ds, 1, shuffle=False)))
     state = trainer.init_state(rng, jnp.asarray(sample["videos"]))
-    ckpt = Path(cfg["run_dir"]) / f"clip_{cfg['train_name']}" / "best"
-    if ckpt.exists():
-        state = load_checkpoint(str(ckpt), state)
+    from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
+    ckpt = Path(cfg["run_dir"]) / f"clip_{cfg['train_name']}"
+    if has_checkpoint(str(ckpt)):
+        state = load_best(str(ckpt), state)
         log.info("loaded %s", ckpt)
     else:
         log.warning("no checkpoint at %s — using random encoder", ckpt)

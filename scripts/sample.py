@@ -30,7 +30,6 @@ def main() -> None:
         DiffusionPriorConfig,
         PriorNetworkConfig,
     )
-    from dalle2_video_tpu.train.checkpoint import load_checkpoint
     from dalle2_video_tpu.utils import config_from_argv
     from scripts.train_decoder import build_decoder, build_trainer
 
@@ -72,18 +71,17 @@ def main() -> None:
         )
     )
     prior_params = prior.init_params(k_gen)
-    prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}" / "best"
-    if prior_ckpt.exists():
-        prior_params = load_checkpoint(str(prior_ckpt), prior_params)
+    from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
+    prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"
+    if has_checkpoint(str(prior_ckpt)):
+        prior_params = load_best(str(prior_ckpt), prior_params)
         log.info("loaded prior %s", prior_ckpt)
 
     decoder = build_decoder(cfg)
     trainer = build_trainer(cfg, decoder)
     state = trainer.init_state(jax.random.PRNGKey(0))
     dec_ckpt = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}"
-    if dec_ckpt.exists():
-        from dalle2_video_tpu.train.checkpoint import load_best
-
+    if has_checkpoint(str(dec_ckpt)):
         # best-by-val state from either layout (RollingCheckpointManager
         # recent/+best/ directories or the legacy last/best pair)
         state = load_best(str(dec_ckpt), state)

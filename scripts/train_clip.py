@@ -23,7 +23,7 @@ import numpy as np
 def main() -> None:
     from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset, split_indices
     from dalle2_video_tpu.models.vivit import ViViTConfig
-    from dalle2_video_tpu.train.checkpoint import save_checkpoint
+    from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
     from dalle2_video_tpu.train.clip_trainer import ClipTrainer, ClipTrainerConfig
     from dalle2_video_tpu.utils import MetricsLogger, config_from_argv
 
@@ -37,8 +37,6 @@ def main() -> None:
     smoke = bool(cfg.get("smoke", False))
     if smoke:
         # synthetic CLIP-stage corpus (tokens + videos), tiny tower
-        import numpy as np
-
         cfg["video_encoder"] = {"frame_size": 32, "patch_size": 16,
                                 "num_frames": 25, "dim": 32, "depth": 1,
                                 "heads": 2, "dim_head": 8}
@@ -106,7 +104,11 @@ def main() -> None:
     mlog = MetricsLogger(cfg["run_dir"], f"clip_{cfg['train_name']}",
                          cfg["use_wandb"], cfg)
     ckpt_dir = Path(cfg["run_dir"]) / f"clip_{cfg['train_name']}"
-    best_loss = float("inf")
+    # async rolling saves, newest-K + best-1 by val loss
+    ckpt_mgr = RollingCheckpointManager(
+        str(ckpt_dir), max_to_keep=int(cfg.get("ckpt_keep", 3)),
+        best_k=1, metric_key="val_loss",
+    )
 
     for epoch in range(epochs):
         # epoch-MEAN metrics (reference logs epoch means, train_clip.py:172-191)
@@ -133,12 +135,12 @@ def main() -> None:
             agg = {f"val/{k}": float(np.mean([m[k] for m in val_metrics]))
                    for k in val_metrics[0]}
             mlog.log(agg, step=int(state.step))
-            save_checkpoint(str(ckpt_dir / "last"), state)
-            if agg["val/loss"] < best_loss:
-                best_loss = agg["val/loss"]
-                save_checkpoint(str(ckpt_dir / "best"), state)
+            if ckpt_mgr.latest_step() != int(state.step):
+                ckpt_mgr.save(int(state.step), state,
+                              metrics={"val_loss": agg["val/loss"]})
         log.info("epoch %d done", epoch)
 
+    ckpt_mgr.close()
     mlog.close()
 
 

@@ -28,7 +28,7 @@ def main() -> None:
         DiffusionPriorConfig,
         PriorNetworkConfig,
     )
-    from dalle2_video_tpu.train.checkpoint import save_checkpoint
+    from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
     from dalle2_video_tpu.utils import MetricsLogger, config_from_argv
 
     cfg = config_from_argv("configs/celebv_text.yaml")
@@ -76,7 +76,10 @@ def main() -> None:
     mlog = MetricsLogger(cfg["run_dir"], f"prior_{cfg['train_name']}",
                          cfg["use_wandb"], cfg)
     ckpt_dir = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"
-    best = float("inf")
+    ckpt_mgr = RollingCheckpointManager(
+        str(ckpt_dir), max_to_keep=int(cfg.get("ckpt_keep", 3)),
+        best_k=1, metric_key="val_loss",
+    )
     key = rng
     gstep = 0
 
@@ -105,12 +108,11 @@ def main() -> None:
         if vals:
             v = float(np.mean(vals))
             mlog.log({"val/loss": v}, step=gstep)
-            save_checkpoint(str(ckpt_dir / "last"), params)
-            if v < best:
-                best = v
-                save_checkpoint(str(ckpt_dir / "best"), params)
+            if ckpt_mgr.latest_step() != gstep:
+                ckpt_mgr.save(gstep, params, metrics={"val_loss": v})
         log.info("epoch %d done", epoch)
 
+    ckpt_mgr.close()
     mlog.close()
 
 

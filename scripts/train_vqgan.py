@@ -27,7 +27,7 @@ def main() -> None:
     from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset, split_indices
     from dalle2_video_tpu.models.discriminator import PatchDiscriminator
     from dalle2_video_tpu.models.vqvae import VQVAE
-    from dalle2_video_tpu.train.checkpoint import save_checkpoint
+    from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
     from dalle2_video_tpu.train.vqgan_trainer import (
         VQGanTrainer,
         VQGanTrainerConfig,
@@ -97,7 +97,10 @@ def main() -> None:
     mlog = MetricsLogger(cfg["run_dir"], f"vqgan_{cfg['train_name']}",
                          cfg["use_wandb"], cfg)
     ckpt_dir = Path(cfg["run_dir"]) / f"vqgan_{cfg['train_name']}"
-    best = float("inf")
+    ckpt_mgr = RollingCheckpointManager(
+        str(ckpt_dir), max_to_keep=int(cfg.get("ckpt_keep", 3)),
+        best_k=1, metric_key="val_loss",
+    )
     gstep = 0
 
     for epoch in range(vq.get("epochs", 10)):
@@ -118,12 +121,13 @@ def main() -> None:
             mean = {k: float(np.mean([float(v[k]) for v in vals]))
                     for k in vals[0]}
             mlog.log(mean, step=gstep)
-            save_checkpoint(str(ckpt_dir / "last"), state.vae_params)
-            if mean["val/rec_l1"] < best:
-                best = mean["val/rec_l1"]
-                save_checkpoint(str(ckpt_dir / "best"), state.vae_params)
-        log.info("epoch %d done (val best rec_l1 %.4f)", epoch, best)
+            if ckpt_mgr.latest_step() != gstep:
+                ckpt_mgr.save(gstep, state.vae_params,
+                              metrics={"val_loss": mean["val/rec_l1"]})
+        log.info("epoch %d done (val rec_l1 %.4f)", epoch,
+                 mean["val/rec_l1"] if vals else float("nan"))
 
+    ckpt_mgr.close()
     mlog.close()
 
 
