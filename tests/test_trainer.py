@@ -458,3 +458,40 @@ def test_elastic_supervisor_restarts(tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert marker.read_text() == "3"
+
+
+def test_checkpoint_layout_helpers(tmp_path):
+    """has_checkpoint/load_latest/load_best detect both the
+    RollingCheckpointManager layout and the legacy last/best pair."""
+    import jax.numpy as jnp
+
+    from dalle2_video_tpu.train.checkpoint import (
+        RollingCheckpointManager,
+        has_checkpoint,
+        load_best,
+        load_latest,
+        save_checkpoint,
+    )
+
+    target = {"w": jnp.zeros(3)}
+
+    # nonexistent dir
+    assert not has_checkpoint(str(tmp_path / "nope"))
+
+    # empty manager dir (constructor eagerly creates recent/ + version file)
+    mgr = RollingCheckpointManager(str(tmp_path / "mgr"))
+    assert not has_checkpoint(str(tmp_path / "mgr"))
+    mgr.save(1, {"w": jnp.ones(3)}, metrics={"val_loss": 2.0})
+    mgr.save(2, {"w": jnp.full(3, 5.0)}, metrics={"val_loss": 9.0})
+    mgr.close()
+    assert has_checkpoint(str(tmp_path / "mgr"))
+    assert float(load_latest(str(tmp_path / "mgr"), target)["w"][0]) == 5.0
+    assert float(load_best(str(tmp_path / "mgr"), target)["w"][0]) == 1.0
+
+    # legacy last/best pair
+    leg = tmp_path / "legacy"
+    save_checkpoint(str(leg / "last"), {"w": jnp.full(3, 7.0)})
+    save_checkpoint(str(leg / "best"), {"w": jnp.full(3, 3.0)})
+    assert has_checkpoint(str(leg))
+    assert float(load_latest(str(leg), target)["w"][0]) == 7.0
+    assert float(load_best(str(leg), target)["w"][0]) == 3.0
