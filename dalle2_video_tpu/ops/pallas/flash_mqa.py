@@ -15,10 +15,12 @@ softmax) fashion:
     q-block axis, k/v blocks shared — exactly MQA's arithmetic
   * fp32 accumulation, bf16-friendly inputs
 
-Used on the SAMPLING path (no VJP needed); training uses the XLA attention
-(fusion there is already good at train-time sequence lengths, and remat
-dominates). Numerics validated against the XLA reference in
-tests/test_pallas.py (interpret mode on CPU, compiled on TPU in bench).
+Fully differentiable: a blockwise-scan XLA backward makes this the
+TRAINING path for long-context configs — at 23k tokens XLA attention
+cannot compile at all (68 GB sim). Short contexts keep XLA attention
+(its fusion wins there). Numerics validated against the XLA reference in
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU in bench);
+block defaults tuned by probes 15/19/20 (docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -134,6 +136,10 @@ def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
     n_pad = _round_up(n_q, chunk)
     pad = n_pad - n_q
 
+    # all-f32 on purpose: a bf16-dot variant (cast p/dS to bf16 for the four
+    # einsums, f32 accumulation) measured SLOWER at the 23k geometry — the
+    # extra conversion passes over the HBM-resident (chunk, n_kv) tiles cost
+    # more than the faster MXU dots save (probe20: 472.9 vs 412.5 ms).
     qf = jnp.pad(q, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
     gf = jnp.pad(g, ((0, 0), (0, pad), (0, 0))).astype(jnp.float32)
     kf = k.astype(jnp.float32)
@@ -167,6 +173,13 @@ def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
 _flash_mqa_diff.defvjp(_flash_mqa_vjp_fwd, _flash_mqa_vjp_bwd)
 
 
+def _auto_block_k(n_kv: int) -> int:
+    """Default kv block: 1024 for long-context shapes (probe19: 31.0 vs
+    18.7 TF/s fwd at 23k tokens), 512 below — a 1024 block on e.g. the
+    1025-token 16-frame sampling shape would pad kv 1025 -> 2048."""
+    return 1024 if n_kv >= 4096 else 512
+
+
 def flash_mqa(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -174,11 +187,13 @@ def flash_mqa(
     *,
     sm_scale: float = 1.0,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable flash MQA: Pallas streaming forward + blockwise scan
     backward (see _flash_mqa_vjp_bwd)."""
+    if block_k is None:
+        block_k = _auto_block_k(k.shape[1])
     return _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret)
 
 
@@ -192,10 +207,12 @@ def _flash_mqa_fwd_only(
     *,
     sm_scale: float = 1.0,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Streaming softmax(q k^T * scale) v with one shared kv head.
+    (block_k default applies when called directly; flash_mqa/mqa_attention
+    pick it adaptively via _auto_block_k.)
 
     Handles arbitrary (unaligned) sequence lengths by padding to block
     multiples; padding keys are masked, padding queries produce garbage rows
@@ -249,7 +266,7 @@ def mqa_attention(
     *,
     sm_scale: float,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """MQA wrapper matching models.layers.Attention's einsum semantics:

@@ -480,3 +480,30 @@ def test_spatial_conv_pallas_small_fallback_geometries():
     np.testing.assert_allclose(
         np.asarray(pal1.apply(p1, x1)), np.asarray(ref1.apply(p1, x1)), atol=2e-5
     )
+
+
+def test_flash_mqa_bf16_gradients_close():
+    """bf16 inputs route the blockwise backward through bf16 MXU dots with
+    f32 accumulation — grads stay close to the f32 oracle (rtol ~ bf16)."""
+    b, n, m, d = 2, 70, 50, 16
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(keys[0], (b, n, d))
+    k = jax.random.normal(keys[1], (b, m, d))
+    v = jax.random.normal(keys[2], (b, m, d))
+    scale = d**-0.5
+
+    def loss_flash(q_, k_, v_):
+        out = flash_mqa(q_.astype(jnp.bfloat16), k_.astype(jnp.bfloat16),
+                        v_.astype(jnp.bfloat16), sm_scale=scale,
+                        block_q=32, block_k=32, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_xla(q_, k_, v_):
+        sim = jnp.einsum("bnd,bmd->bnm", q_ * scale, k_)
+        out = jax.nn.softmax(sim, -1) @ v_
+        return jnp.sum(out**2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=0.08)
