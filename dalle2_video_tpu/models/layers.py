@@ -381,7 +381,7 @@ class Attention(nn.Module):
     cosine_sim: bool = False
     cosine_sim_scale: float = 16.0
     rotary: bool = False
-    impl: str = "xla"  # "xla" | "flash" (Pallas streaming kernel, fwd-only)
+    impl: str = "xla"  # "xla" | "flash" (Pallas streaming kernel, custom VJP)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -444,6 +444,10 @@ class JointSpaceTimeAttention(nn.Module):
     dim_head: int = 32
     cosine_sim: bool = False
     joint_time: bool = True  # False: per-frame (spatial-only) attention
+    # "xla" | "flash" | "auto". auto picks by STATIC token count: flash wins
+    # the full train step past ~4k joint tokens (probe21: 89.0 vs 97.0 ms at
+    # the 90-frame SR stage, 5760 tokens) and is the only compilable option
+    # at 23k; below that XLA's fusion wins. Decided at trace time.
     impl: str = "xla"
 
     @nn.compact
@@ -453,12 +457,20 @@ class JointSpaceTimeAttention(nn.Module):
             tokens = x.reshape(b, t * h * w, c)
         else:
             tokens = x.reshape(b * t, h * w, c)
+        impl = self.impl
+        if impl == "auto":
+            # CPU (tests/dryrun) has no compiled Pallas path — stay on XLA
+            impl = (
+                "flash"
+                if tokens.shape[1] >= 4096 and jax.default_backend() != "cpu"
+                else "xla"
+            )
         out = Attention(
             self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
             cosine_sim=self.cosine_sim,
-            impl=self.impl,
+            impl=impl,
             name="attn",
         )(tokens)
         return x + out.reshape(b, t, h, w, c)

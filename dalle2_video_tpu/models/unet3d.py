@@ -105,8 +105,10 @@ class UNet3DConfig:
     # False -> spatial-only (per-frame) attention everywhere; used by
     # UnetTemporalConv (frame-wise 2D unet + temporal conv mixer)
     joint_time_attention: bool = True
-    # "xla" | "flash": flash routes the joint attention through the Pallas
-    # streaming MQA kernel (forward-only; used on the sampling path)
+    # "xla" | "flash" | "auto": flash routes the joint attention through the
+    # Pallas streaming MQA kernel (custom VJP — trains); auto picks flash at
+    # >=4096 joint tokens where it measured faster than XLA in the full
+    # train step (docs/PERF.md probe21), XLA below
     attention_impl: str = "xla"
     # "xla" | "pallas": pallas fuses GroupNorm+FiLM+SiLU (custom VJP)
     groupnorm_impl: str = "xla"

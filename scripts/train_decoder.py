@@ -33,6 +33,10 @@ def build_decoder(cfg):
             num_resnet_blocks=section.get("num_resnet_blocks", 2),
             attn_heads=section.get("attn_heads", 16),
             attn_dim_head=section.get("attn_dim_head", 32),
+            # flash beats XLA in the full train step once the joint t*h*w
+            # bottleneck grows past ~4k tokens (probe21: 89.0 vs 97.0 ms at
+            # the 90-frame SR stage) and is the ONLY option at 23k
+            attention_impl=section.get("attention_impl", "xla"),
             video_embed_dim=cfg["dim"],
             channels=cfg["channels"],
         )

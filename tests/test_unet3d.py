@@ -249,3 +249,20 @@ def test_cross_attention_broadcast_impl_matches_xla():
         np.testing.assert_allclose(
             np.asarray(out_b), np.asarray(out_x), atol=2e-5
         )
+
+
+def test_joint_attention_auto_impl():
+    """attention_impl="auto" resolves per static token count (xla below 4096
+    — the regime where XLA fusion measured faster; flash above, TPU only)
+    and matches the explicit xla path bit-for-bit at small token counts."""
+    import numpy as np
+
+    from dalle2_video_tpu.models.layers import JointSpaceTimeAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 16))
+    auto = JointSpaceTimeAttention(16, heads=2, dim_head=8, impl="auto")
+    xla = JointSpaceTimeAttention(16, heads=2, dim_head=8, impl="xla")
+    p = xla.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_array_equal(
+        np.asarray(auto.apply(p, x)), np.asarray(xla.apply(p, x))
+    )
