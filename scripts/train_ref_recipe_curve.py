@@ -1,0 +1,111 @@
+"""The reference's EXACT shipped recipe, trained to a curve on one v5e.
+
+Config per /root/reference/configs/celebv-text.yaml:51-76: unet1 dim-64
+mults [1,2,4,8], unet2 dim-8 mults [1,2,4,8,16], frame_sizes [64,128],
+frame_numbers [90,90], batch_size 1 — the workload the reference's README
+says "does not run at DeepSpeed ZeRO-3 even with batch_size=1". Trains
+both stages on structured synthetic 90-frame video (moving blobs), then
+samples a 90-frame 128px clip through the full cascade. Joint attention
+(5760 tokens both stages) rides the flash-MQA training path via
+attention_impl="auto".
+
+Writes metrics + samples to runs/ref_recipe_curve/.
+
+Run: nohup python scripts/train_ref_recipe_curve.py > runs/ref_recipe.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts.train_r2_curve import blob_videos
+
+RUN = Path("runs/ref_recipe_curve")
+STEPS = 400
+B, T, EMB = 1, 90, 512
+
+
+def main():
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+    from dalle2_video_tpu.train import DecoderTrainer, DecoderTrainerConfig
+    from dalle2_video_tpu.train.checkpoint import save_checkpoint
+    from dalle2_video_tpu.utils.logging import MetricsLogger
+
+    RUN.mkdir(parents=True, exist_ok=True)
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+
+    u1 = UNet3DConfig(dim=64, dim_mults=(1, 2, 4, 8), video_embed_dim=EMB,
+                      num_resnet_blocks=2, attn_heads=16, attn_dim_head=32,
+                      attention_impl="auto")
+    u2 = UNet3DConfig(dim=8, dim_mults=(1, 2, 4, 8, 16), video_embed_dim=EMB,
+                      num_resnet_blocks=2, attn_heads=16, attn_dim_head=32,
+                      attention_impl="auto")
+    dec = VideoDecoder(VideoDecoderConfig(
+        unets=(u1, u2), frame_sizes=(64, 128), frame_numbers=(T, T),
+        timesteps=1000, sample_timesteps=(64, 64), learned_variance=False,
+        sample_compute_dtype="bfloat16",
+    ))
+    # reference decoder_trainer: lr 3e-4, wd 1e-2, use_ema False (yaml:70-76)
+    trainer = DecoderTrainer(dec, DecoderTrainerConfig(
+        lr=3e-4, wd=1e-2, use_ema=False, bf16_compute=True))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    pool64, embs = blob_videos(rng, 32, T, 64)
+    pool128, _ = blob_videos(rng, 8, T, 128)
+    steps = {
+        u: jax.jit(lambda s, r, v, e, u=u: trainer.train_step(
+            s, r, v, video_embed=e, unet_number=u))
+        for u in (1, 2)
+    }
+    mlog = MetricsLogger(str(RUN), "ref_recipe", False, {"steps": STEPS})
+
+    key = jax.random.PRNGKey(1)
+    for u, pool in ((1, pool64), (2, pool128)):
+        t0 = time.time()
+        losses = []
+        for i in range(STEPS):
+            idx = rng.randint(0, pool.shape[0], B)
+            key, k = jax.random.split(key)
+            state, loss = steps[u](state, k, jnp.asarray(pool[idx]),
+                                   jnp.asarray(embs[idx]))
+            losses.append(float(loss))
+            if i == 0:
+                print(f"stage {u} first step (compile): "
+                      f"{time.time()-t0:.0f}s", flush=True)
+            if (i + 1) % 50 == 0:
+                m = float(np.mean(losses[-50:]))
+                mlog.log({f"train/loss_unet{u}": m}, step=i + 1)
+                print(f"stage {u} step {i+1}: loss(mean50)={m:.4f}",
+                      flush=True)
+        dt = (time.time() - t0 - 0) / STEPS
+        print(f"stage {u}: avg {dt*1e3:.0f} ms/step "
+              f"({B*T/dt:.0f} frames/s)", flush=True)
+
+    t0 = time.time()
+    sample = trainer.sample(
+        state, jax.random.PRNGKey(2),
+        video_embed=jnp.asarray(embs[:1]), cond_scale=2.0,
+    )
+    print(f"90-frame cascade sample: {sample.shape} in {time.time()-t0:.0f}s "
+          f"range=({float(sample.min()):.3f},{float(sample.max()):.3f})",
+          flush=True)
+    np.save(RUN / "sample_90f_128px.npy", np.asarray(sample))
+    save_checkpoint(str(RUN / "last"), state)
+    (RUN / "summary.json").write_text(json.dumps(
+        {"sample_shape": list(sample.shape)}, indent=1))
+    print("ref recipe curve complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
