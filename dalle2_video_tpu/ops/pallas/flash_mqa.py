@@ -37,18 +37,24 @@ NEG_INF = -1e30
 
 
 def _flash_mqa_kernel(
-    q_ref,  # (BLOCK_Q, d)
+    q_ref,  # (BLOCK_Q, d) — q PRE-SCALED by sm_scale (saves a sim-size mul)
     k_ref,  # (BLOCK_K, d)
     v_ref,  # (BLOCK_K, d)
-    o_ref,  # (BLOCK_Q, d)
-    m_scratch,  # (BLOCK_Q, 1) running max
-    l_scratch,  # (BLOCK_Q, 1) running sum
-    acc_scratch,  # (BLOCK_Q, d) running weighted values
-    *,
-    sm_scale: float,
-    kv_len: int,
-    block_k: int,
+    *refs,
+    masked: bool,
 ):
+    # Padding handling: kv padding is ZEROS, so padded columns produce
+    # s = 0. When padding exists (masked=True) a per-COLUMN 0/1 vector
+    # zeroes their p — one broadcast multiply per sim element instead of
+    # the old iota+add+compare+select (the sim-space VPU work, not the
+    # d=32 MXU dots, bounds this kernel). The padded 0 participating in
+    # the running max only shifts the softmax (shift-invariant, exact);
+    # p of real columns underflows only if every real logit < -87 —
+    # not reachable with a learned null kv in the stream.
+    if masked:
+        kvmask_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = refs
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -64,12 +70,6 @@ def _flash_mqa_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BLOCK_Q, BLOCK_K)
-    s = s * sm_scale
-
-    # mask out kv padding in the last block
-    base = kv_idx * block_k
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_scratch[:]
     l_prev = l_scratch[:]
@@ -77,6 +77,8 @@ def _flash_mqa_kernel(
     m_next = jnp.maximum(m_prev, m_cur)
 
     p = jnp.exp(s - m_next)  # (BLOCK_Q, BLOCK_K)
+    if masked:
+        p = p * kvmask_ref[0]  # (1, BLOCK_K) row broadcast
     l_cur = jnp.sum(p, axis=1, keepdims=True)
     alpha = jnp.exp(m_prev - m_next)
     l_next = l_prev * alpha + l_cur
@@ -221,6 +223,10 @@ def _flash_mqa_fwd_only(
     b, n_q, d = q.shape
     _, n_kv, _ = k.shape
 
+    # fold the softmax scale into q once (one (n_q, d) mul) instead of
+    # scaling every (block_q, block_k) sim tile inside the kernel
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+
     n_q_pad = _round_up(n_q, block_q)
     n_kv_pad = _round_up(n_kv, block_k)
     if n_q_pad != n_q:
@@ -230,20 +236,23 @@ def _flash_mqa_fwd_only(
         v = jnp.pad(v, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
 
     grid = (b, n_q_pad // block_q, n_kv_pad // block_k)
+    masked = n_kv_pad != n_kv
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+    ]
+    args = [q, k, v]
+    if masked:
+        kvmask = (jnp.arange(n_kv_pad) < n_kv).astype(jnp.float32)[None, :]
+        in_specs.append(pl.BlockSpec((1, block_k), lambda bi, qi, ki: (0, ki)))
+        args.append(kvmask)
 
     out = pl.pallas_call(
-        functools.partial(
-            _flash_mqa_kernel,
-            sm_scale=sm_scale,
-            kv_len=n_kv,
-            block_k=block_k,
-        ),
+        functools.partial(_flash_mqa_kernel, masked=masked),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_q_pad, d), q.dtype),
         scratch_shapes=[
@@ -255,7 +264,7 @@ def _flash_mqa_fwd_only(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
     return out[:, :n_q]
 
 

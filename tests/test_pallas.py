@@ -507,3 +507,18 @@ def test_flash_mqa_bf16_gradients_close():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=0.08)
+
+
+def test_flash_mqa_negative_logits_unaligned():
+    """Unaligned kv with strongly NEGATIVE real logits: the zero-padded
+    columns (logit 0) dominate the running max, so the mask-multiply path
+    must still recover exact softmax over the real keys."""
+    d = 16
+    q = jnp.full((1, 8, d), 2.0)
+    k = -jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (1, 37, d))) - 1.0
+    v = jax.random.normal(jax.random.PRNGKey(1), (1, 37, d))
+    scale = d**-0.5
+    expected = jax.nn.softmax((q * scale) @ jnp.swapaxes(k, 1, 2), -1) @ v
+    got = flash_mqa(q, k, v, sm_scale=scale, block_q=32, block_k=32,
+                    interpret=True)  # 37 -> pad 64, padded logits = 0 > real
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
