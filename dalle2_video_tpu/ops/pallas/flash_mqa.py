@@ -15,12 +15,14 @@ softmax) fashion:
     q-block axis, k/v blocks shared — exactly MQA's arithmetic
   * fp32 accumulation, bf16-friendly inputs
 
-Fully differentiable: a blockwise-scan XLA backward makes this the
-TRAINING path for long-context configs — at 23k tokens XLA attention
-cannot compile at all (68 GB sim). Short contexts keep XLA attention
-(its fusion wins there). Numerics validated against the XLA reference in
-tests/test_pallas.py (interpret mode on CPU, compiled on TPU in bench);
-block defaults tuned by probes 15/19/20 (docs/PERF.md).
+Fully differentiable, and the backward is ALSO a Pallas streaming pair of
+kernels (dq; dk/dv) that recompute P tiles from the forward's saved row
+logsumexp — this is the TRAINING path for long-context configs: at 23k
+tokens XLA attention cannot compile at all (68 GB sim). Short contexts
+keep XLA attention (its fusion wins there). Numerics validated against
+the XLA reference in tests/test_pallas.py (interpret mode on CPU,
+compiled on TPU in bench); block defaults tuned by probes 15/19/20 and
+the r3 backward A/B (docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ def _flash_mqa_kernel(
     v_ref,  # (BLOCK_K, d)
     *refs,
     masked: bool,
+    save_lse: bool = False,
 ):
     # Padding handling: kv padding is ZEROS, so padded columns produce
     # s = 0. When padding exists (masked=True) a per-COLUMN 0/1 vector
@@ -51,10 +54,11 @@ def _flash_mqa_kernel(
     # the running max only shifts the softmax (shift-invariant, exact);
     # p of real columns underflows only if every real logit < -87 —
     # not reachable with a learned null kv in the stream.
-    if masked:
-        kvmask_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
-    else:
-        o_ref, m_scratch, l_scratch, acc_scratch = refs
+    refs = list(refs)
+    kvmask_ref = refs.pop(0) if masked else None
+    o_ref = refs.pop(0)
+    lse_ref = refs.pop(0) if save_lse else None
+    m_scratch, l_scratch, acc_scratch = refs
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -95,6 +99,11 @@ def _flash_mqa_kernel(
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
         o_ref[0] = (acc_scratch[:] / l_scratch[:]).astype(o_ref.dtype)
+        if save_lse:
+            # logsumexp of the REAL columns (masked p excluded padded ones):
+            # exp(s_i - lse) are the exact softmax probabilities — the bwd
+            # kernels recompute P tiles from this row statistic
+            lse_ref[0] = m_scratch[:] + jnp.log(l_scratch[:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -102,24 +111,43 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
 )
-def _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret):
+def _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret, bwd_impl,
+                    bwd_block_q, bwd_block_k):
     return _flash_mqa_fwd_only(
         q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
         interpret=interpret,
     )
 
 
-def _flash_mqa_vjp_fwd(q, k, v, sm_scale, block_q, block_k, interpret):
+def _flash_mqa_vjp_fwd(q, k, v, sm_scale, block_q, block_k, interpret, bwd_impl,
+                       bwd_block_q, bwd_block_k):
+    if bwd_impl == "pallas":
+        out, lse = _flash_mqa_fwd_only(
+            q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, save_lse=True,
+        )
+        return out, (q, k, v, out, lse)
     out = _flash_mqa_fwd_only(
         q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
         interpret=interpret,
     )
-    return out, (q, k, v)
+    return out, (q, k, v, None, None)
 
 
-def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
+def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, bwd_impl,
+                       bwd_block_q, bwd_block_k, residuals, g):
+    q, k, v, out, lse = residuals
+    if bwd_impl == "pallas":
+        return _bwd_pallas(
+            q, k, v, out, lse, g, sm_scale=sm_scale, interpret=interpret,
+            block_q=bwd_block_q, block_k=bwd_block_k,
+        )
+    return _bwd_xla_scan(q, k, v, g, sm_scale=sm_scale, block_q=block_q)
+
+
+def _bwd_xla_scan(q, k, v, g, *, sm_scale, block_q):
     """Memory-bounded blockwise backward (lax.scan over query chunks).
 
     Never materializes the full (n_q, n_kv) similarity: each scan step
@@ -131,7 +159,6 @@ def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
         D  = rowsum(dO * O);  dS = P * (dP - D)
         dQ = scale * dS K;  dK = scale * dS^T Q;  dV = P^T dO
     """
-    q, k, v = residuals
     b, n_q, d = q.shape
     n_kv = k.shape[1]
     chunk = max(block_q, 512)
@@ -175,6 +202,167 @@ def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
 _flash_mqa_diff.defvjp(_flash_mqa_vjp_fwd, _flash_mqa_vjp_bwd)
 
 
+# --------------------------------------------------------------------- #
+# Pallas streaming backward: two kernels recompute P tiles from the saved
+# row logsumexp (classic flash-attention backward; the r2 XLA-scan variant
+# above stays as the A/B reference). Standard algebra per (q-block, k-block):
+#     P = exp(S - lse);  dP = dO V^T;  dS = P * (dP - D),  D = rowsum(dO*O)
+#     dQ += dS K (* scale);  dK += dS^T Q_scaled;  dV += P^T dO
+# Padding discipline:
+#   * padded KV columns carry a WRONG unmasked p = exp(0 - lse) which can
+#     overflow when every real logit is very negative — the kvmask row
+#     multiply (as in the fwd) zeroes them when kv padding exists; their
+#     dk/dv rows are garbage but sliced off
+#   * padded Q rows of g are zeros -> dP = 0 and D = 0 there, so dS = 0 and
+#     they contribute nothing to dk/dv; their dq rows are sliced off; their
+#     padded lse of 0 keeps p finite (s = 0 rows)
+# --------------------------------------------------------------------- #
+def _mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, *refs,
+                       sm_scale: float, masked: bool):
+    if masked:
+        kvmask_ref, dq_ref, dq_acc = refs
+    else:
+        dq_ref, dq_acc = refs
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]  # (block_q, d), PRE-SCALED by sm_scale
+    k = k_ref[0]  # (block_k, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - lse_ref[0])  # (block_q, block_k); lse column broadcast
+    if masked:
+        p = p * kvmask_ref[0]
+    dp = jax.lax.dot_general(
+        g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0])
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _finalize():
+        # chain rule through the q-prescale: dL/dq = sm_scale * dL/dq_scaled
+        dq_ref[0] = (dq_acc[:] * sm_scale).astype(dq_ref.dtype)
+
+
+def _mqa_bwd_dkv_kernel(q_ref, g_ref, lse_ref, delta_ref, k_ref, v_ref, *refs,
+                        masked: bool):
+    if masked:
+        kvmask_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        dk_ref, dv_ref, dk_acc, dv_acc = refs
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # PRE-SCALED: dk = dS^T q_scaled is exactly dL/dk
+    g = g_ref[0]
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp(s - lse_ref[0])
+    if masked:
+        p = p * kvmask_ref[0]  # keep padded-column p finite (overflow guard)
+    dp = jax.lax.dot_general(
+        g, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0])
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_pallas(q, k, v, out, lse, g, *, sm_scale, interpret,
+                block_q: int = 512, block_k: int = 1024):
+    """Both bwd kernels at (block_q, block_k) = (512, 1024) by default —
+    r3 A/B'd on TPU against the r2 XLA scan (docs/PERF.md r3)."""
+    b, n_q, d = q.shape
+    n_kv = k.shape[1]
+    n_q_pad = _round_up(n_q, block_q)
+    n_kv_pad = _round_up(n_kv, block_k)
+
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (b, n_q, 1)
+
+    pad_q = lambda x: jnp.pad(x, ((0, 0), (0, n_q_pad - x.shape[1]), (0, 0)))
+    pad_kv = lambda x: jnp.pad(x, ((0, 0), (0, n_kv_pad - x.shape[1]), (0, 0)))
+    qs_p, g_p = pad_q(qs), pad_q(g)
+    lse_p, delta_p = pad_q(lse), pad_q(delta)
+    k_p, v_p = pad_kv(k), pad_kv(v)
+    masked = n_kv_pad != n_kv
+    mask_args = []
+    if masked:
+        mask_args = [
+            (jnp.arange(n_kv_pad) < n_kv).astype(jnp.float32)[None, :]
+        ]
+
+    spec_q = pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0))
+    spec_kv_for_q = pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0))
+    spec_col_for_q = pl.BlockSpec((1, block_q, 1), lambda bi, qi, ki: (bi, qi, 0))
+    spec_mask_for_q = pl.BlockSpec((1, block_k), lambda bi, qi, ki: (0, ki))
+    dq = pl.pallas_call(
+        functools.partial(_mqa_bwd_dq_kernel, sm_scale=sm_scale, masked=masked),
+        grid=(b, n_q_pad // block_q, n_kv_pad // block_k),
+        in_specs=[spec_q, spec_kv_for_q, spec_kv_for_q, spec_q,
+                  spec_col_for_q, spec_col_for_q]
+        + ([spec_mask_for_q] if masked else []),
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((b, n_q_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qs_p, k_p, v_p, g_p, lse_p, delta_p, *mask_args)
+
+    spec_q2 = pl.BlockSpec((1, block_q, d), lambda bi, ki, qi: (bi, qi, 0))
+    spec_col2 = pl.BlockSpec((1, block_q, 1), lambda bi, ki, qi: (bi, qi, 0))
+    spec_kv2 = pl.BlockSpec((1, block_k, d), lambda bi, ki, qi: (bi, ki, 0))
+    spec_mask2 = pl.BlockSpec((1, block_k), lambda bi, ki, qi: (0, ki))
+    dk, dv = pl.pallas_call(
+        functools.partial(_mqa_bwd_dkv_kernel, masked=masked),
+        grid=(b, n_kv_pad // block_k, n_q_pad // block_q),
+        in_specs=[spec_q2, spec_q2, spec_col2, spec_col2, spec_kv2, spec_kv2]
+        + ([spec_mask2] if masked else []),
+        out_specs=[spec_kv2, spec_kv2],
+        out_shape=[jax.ShapeDtypeStruct((b, n_kv_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, n_kv_pad, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qs_p, g_p, lse_p, delta_p, k_p, v_p, *mask_args)
+
+    return dq[:, :n_q], dk[:, :n_kv], dv[:, :n_kv]
+
+
 def _auto_block_k(n_kv: int) -> int:
     """Default kv block: 1024 for long-context shapes (probe19: 31.0 vs
     18.7 TF/s fwd at 23k tokens), 512 below — a 1024 block on e.g. the
@@ -191,16 +379,26 @@ def flash_mqa(
     block_q: int = 512,
     block_k: Optional[int] = None,
     interpret: bool = False,
+    bwd_impl: str = "pallas",  # "pallas" | "xla_scan" (r2 reference impl)
+    bwd_block_q: int = 512,
+    bwd_block_k: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Differentiable flash MQA: Pallas streaming forward + blockwise scan
-    backward (see _flash_mqa_vjp_bwd)."""
+    """Differentiable flash MQA: Pallas streaming forward + Pallas streaming
+    backward (_bwd_pallas; recomputed P tiles from the saved row logsumexp).
+    r3 A/B at the 23k-token SR bottleneck: 245.8 ms full VJP vs 410.5 ms for
+    bwd_impl="xla_scan" (the r2 blockwise-scan backward, kept for A/B);
+    probe runs/perf_r3_probe1.jsonl."""
     if block_k is None:
         block_k = _auto_block_k(k.shape[1])
-    return _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret)
+    if bwd_block_k is None:
+        bwd_block_k = _auto_block_k(k.shape[1])
+    return _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret,
+                           bwd_impl, bwd_block_q, bwd_block_k)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("sm_scale", "block_q", "block_k", "interpret", "save_lse"),
 )
 def _flash_mqa_fwd_only(
     q: jnp.ndarray,  # (b, n_q, d)   n_q = q_heads * seq (heads folded in)
@@ -211,6 +409,7 @@ def _flash_mqa_fwd_only(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    save_lse: bool = False,
 ) -> jnp.ndarray:
     """Streaming softmax(q k^T * scale) v with one shared kv head.
     (block_k default applies when called directly; flash_mqa/mqa_attention
@@ -249,12 +448,22 @@ def _flash_mqa_fwd_only(
         in_specs.append(pl.BlockSpec((1, block_k), lambda bi, qi, ki: (0, ki)))
         args.append(kvmask)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_mqa_kernel, masked=masked),
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, n_q_pad, d), q.dtype)]
+    if save_lse:
+        # row logsumexp for the Pallas backward; kept PADDED (bwd re-pads to
+        # its own blocks from the sliced view, so slice here for a clean API)
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 1), lambda bi, qi, ki: (bi, qi, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, n_q_pad, 1), jnp.float32))
+
+    res = pl.pallas_call(
+        functools.partial(_flash_mqa_kernel, masked=masked, save_lse=save_lse),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n_q_pad, d), q.dtype),
+        out_specs=out_specs if save_lse else out_specs[0],
+        out_shape=out_shape if save_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -265,7 +474,10 @@ def _flash_mqa_fwd_only(
         ),
         interpret=interpret,
     )(*args)
-    return out[:, :n_q]
+    if save_lse:
+        out, lse = res
+        return out[:, :n_q], lse[:, :n_q]
+    return res[:, :n_q]
 
 
 def mqa_attention(
@@ -277,6 +489,9 @@ def mqa_attention(
     block_q: int = 512,
     block_k: Optional[int] = None,
     interpret: bool = False,
+    bwd_impl: str = "pallas",
+    bwd_block_q: int = 512,
+    bwd_block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """MQA wrapper matching models.layers.Attention's einsum semantics:
     folds q heads into the query-sequence axis (every head shares kv), runs
@@ -286,5 +501,6 @@ def mqa_attention(
     out = flash_mqa(
         q_folded, k, v,
         sm_scale=sm_scale, block_q=block_q, block_k=block_k, interpret=interpret,
+        bwd_impl=bwd_impl, bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k,
     )
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -198,8 +198,10 @@ def test_cross_attention_module_flash_matches_xla():
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=3e-5)
 
 
-def test_flash_mqa_gradients_match_xla():
-    """Blockwise flash backward == autodiff through XLA attention."""
+@pytest.mark.parametrize("bwd_impl", ["pallas", "xla_scan"])
+def test_flash_mqa_gradients_match_xla(bwd_impl):
+    """Flash backward (Pallas streaming kernels / r2 blockwise XLA scan) ==
+    autodiff through XLA attention."""
     b, n, m, d = 2, 70, 50, 16  # unaligned sizes exercise padding/masking
     keys = jax.random.split(jax.random.PRNGKey(9), 3)
     q = jax.random.normal(keys[0], (b, n, d))
@@ -209,7 +211,7 @@ def test_flash_mqa_gradients_match_xla():
 
     def loss_flash(q_, k_, v_):
         out = flash_mqa(q_, k_, v_, sm_scale=scale, block_q=32, block_k=32,
-                        interpret=True)
+                        interpret=True, bwd_impl=bwd_impl)
         return jnp.sum(out**2)
 
     def loss_xla(q_, k_, v_):
@@ -220,6 +222,33 @@ def test_flash_mqa_gradients_match_xla():
     gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_flash_mqa_pallas_bwd_negative_logits_unaligned():
+    """Unaligned kv + strongly negative real logits: the padded columns'
+    unmasked p = exp(0 - lse) would overflow in the bwd kernels (inf * 0 ->
+    NaN against the zero k rows); the kvmask multiply must keep gradients
+    finite and exact."""
+    d = 16
+    q = jnp.full((1, 8, d), 2.0)
+    k = -jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (1, 37, d))) - 1.0
+    v = jax.random.normal(jax.random.PRNGKey(1), (1, 37, d))
+    scale = d**-0.5
+
+    def loss_flash(q_, k_, v_):
+        out = flash_mqa(q_, k_, v_, sm_scale=scale, block_q=32, block_k=32,
+                        interpret=True, bwd_impl="pallas")
+        return jnp.sum(out**2)
+
+    def loss_xla(q_, k_, v_):
+        sim = jnp.einsum("bnd,bmd->bnm", q_ * scale, k_)
+        return jnp.sum((jax.nn.softmax(sim, -1) @ v_) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        assert bool(jnp.isfinite(a).all())
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
@@ -385,13 +414,16 @@ def test_block3d_fused_matches_xla():
     from dalle2_video_tpu.models.layers import Block3D
     from dalle2_video_tpu.ops.pallas import fused_block
 
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 8, 8, 8))
+    # 64-aligned dims: the fused_ok gate now requires c % 64 == 0 and
+    # dim_out % 64 == 0 (ADVICE r2 — _build_a is Mosaic-safe only for
+    # 64-aligned lane slices); unaligned geometries fall back to XLA
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 8, 8, 64))
     ss = (
-        jax.random.normal(jax.random.PRNGKey(1), (2, 16)) * 0.1,
-        jax.random.normal(jax.random.PRNGKey(2), (2, 16)) * 0.1,
+        jax.random.normal(jax.random.PRNGKey(1), (2, 64)) * 0.1,
+        jax.random.normal(jax.random.PRNGKey(2), (2, 64)) * 0.1,
     )
-    xla_block = Block3D(16, groups=4, norm_impl="xla")
-    fu_block = Block3D(16, groups=4, norm_impl="fused")
+    xla_block = Block3D(64, groups=4, norm_impl="xla")
+    fu_block = Block3D(64, groups=4, norm_impl="fused")
     params = xla_block.init(jax.random.PRNGKey(3), x, ss)
     out_xla = xla_block.apply(params, x, ss)
 
@@ -411,6 +443,12 @@ def test_block3d_fused_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_fu_nofilm), np.asarray(out_xla_nofilm), atol=3e-5
     )
+    # unaligned geometry (reference-exact dim-8 SR stage): must fall back to
+    # the XLA path cleanly, not reach the Mosaic-unsafe kernel
+    x8 = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 4, 4, 8))
+    small = Block3D(16, groups=4, norm_impl="fused")
+    p8 = small.init(jax.random.PRNGKey(6), x8, None)
+    assert small.apply(p8, x8, None).shape == (1, 2, 4, 4, 16)
 
 
 def test_spatial_conv_hybrid_xla_backward():
@@ -482,9 +520,10 @@ def test_spatial_conv_pallas_small_fallback_geometries():
     )
 
 
-def test_flash_mqa_bf16_gradients_close():
-    """bf16 inputs route the blockwise backward through bf16 MXU dots with
-    f32 accumulation — grads stay close to the f32 oracle (rtol ~ bf16)."""
+@pytest.mark.parametrize("bwd_impl", ["pallas", "xla_scan"])
+def test_flash_mqa_bf16_gradients_close(bwd_impl):
+    """bf16 inputs route the backward through bf16 MXU dots with f32
+    accumulation — grads stay close to the f32 oracle (rtol ~ bf16)."""
     b, n, m, d = 2, 70, 50, 16
     keys = jax.random.split(jax.random.PRNGKey(9), 3)
     q = jax.random.normal(keys[0], (b, n, d))
@@ -495,7 +534,8 @@ def test_flash_mqa_bf16_gradients_close():
     def loss_flash(q_, k_, v_):
         out = flash_mqa(q_.astype(jnp.bfloat16), k_.astype(jnp.bfloat16),
                         v_.astype(jnp.bfloat16), sm_scale=scale,
-                        block_q=32, block_k=32, interpret=True)
+                        block_q=32, block_k=32, interpret=True,
+                        bwd_impl=bwd_impl)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
     def loss_xla(q_, k_, v_):
