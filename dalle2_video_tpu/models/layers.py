@@ -200,6 +200,11 @@ class Block3D(nn.Module):
             self.norm_impl == "fused"
             and w % 2 == 0
             and self.dim_out % self.groups == 0
+            # _build_a is Mosaic-safe only for 64-aligned lane slices (same
+            # predicate as SpatialConv's pallas_small path) — small-dim unets
+            # (e.g. the reference-exact dim-8 SR stage) fall back to XLA
+            and c % 64 == 0
+            and self.dim_out % 64 == 0
             # packed kernel matrix (12C, 2Co) must fit VMEM (~16 MB/core,
             # measured: 24 MB f32 bmat OOMs at compile). Dtype-aware bound
             # with headroom for blocks/A/scratch: deep f32 traces (init
@@ -346,21 +351,30 @@ class CrossAttention(nn.Module):
         return ScaleOnlyLayerNorm(name="out_norm")(out)
 
 
-def rotary_embed(x: jnp.ndarray, positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Rotary position embedding on (..., n, d): rotate consecutive pairs.
-    Same frequency basis as dalle2-pytorch's RotaryEmbedding (theta 10000)."""
+def rotary_embed(x: jnp.ndarray, positions: Optional[jnp.ndarray] = None,
+                 rot_dim: Optional[int] = None) -> jnp.ndarray:
+    """Rotary position embedding on (..., n, d), matching dalle2-pytorch's
+    CausalTransformer ``RotaryEmbedding(dim=min(32, dim_head))`` exactly
+    (rotary-embedding-torch 'lang' convention): only the first
+    ``min(32, d)`` dims are rotated, as interleaved pairs
+    (x[2i], x[2i+1]) with inv_freq theta^(-2i/rot_dim), theta 10000;
+    remaining dims pass through unrotated."""
     n, d = x.shape[-2], x.shape[-1]
-    half = d // 2
-    freqs = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) / half))
+    rd = min(32, d) if rot_dim is None else rot_dim
+    half = rd // 2
+    inv_freq = 1.0 / (
+        10000.0 ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd)
+    )  # (half,)
     pos = jnp.arange(n, dtype=jnp.float32) if positions is None else positions
-    angles = pos[:, None] * freqs[None, :]  # (n, half)
-    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    angles = pos[:, None] * inv_freq[None, :]  # (n, half)
     shape = (1,) * (x.ndim - 2) + (n, half)
-    cos, sin = cos.reshape(shape), sin.reshape(shape)
-    x1, x2 = x[..., :half], x[..., half:]
-    return jnp.concatenate(
+    cos, sin = jnp.cos(angles).reshape(shape), jnp.sin(angles).reshape(shape)
+    xr, x_pass = x[..., :rd].astype(jnp.float32), x[..., rd:]
+    x1, x2 = xr[..., 0::2], xr[..., 1::2]  # pair members (..., n, half)
+    rot = jnp.stack(
         [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
-    ).astype(x.dtype)
+    ).reshape(x.shape[:-1] + (rd,))  # re-interleave pairs
+    return jnp.concatenate([rot.astype(x.dtype), x_pass], axis=-1)
 
 
 class Attention(nn.Module):
@@ -400,17 +414,52 @@ class Attention(nn.Module):
             q = rotary_embed(q.swapaxes(1, 2)).swapaxes(1, 2)
             k = rotary_embed(k)
         null_kv = self.param("null_kv", nn.initializers.normal(1.0), (2, d))
-        k = jnp.concatenate([jnp.broadcast_to(null_kv[0], (b, 1, d)), k], axis=1)
-        v = jnp.concatenate([jnp.broadcast_to(null_kv[1], (b, 1, d)), v], axis=1)
+        # same dtype promotion as the concat below (bit-identical non-sp paths)
+        ndt = jnp.result_type(null_kv.dtype, k.dtype)
+        nk = jnp.broadcast_to(null_kv[0], (b, 1, d)).astype(ndt)
+        nv = jnp.broadcast_to(null_kv[1], (b, 1, d)).astype(ndt)
 
         if self.cosine_sim:
-            q, k = l2norm(q), l2norm(k)
+            q, k, nk = l2norm(q), l2norm(k), l2norm(nk)
             scale = self.cosine_sim_scale
         else:
             scale = d**-0.5
 
-        if (self.impl == "flash" and mask is None and not self.causal
-                and attn_bias is None):
+        impl = self.impl
+        simple = mask is None and not self.causal and attn_bias is None
+        if impl == "sp" and simple:
+            # sequence-parallel: token axis sharded over the mesh's 'model'
+            # axis, flash kernel per shard with gathered kv (VERDICT r2 #5).
+            # Falls back to flash/xla when no mesh is active or the token
+            # count doesn't divide the axis.
+            from dalle2_video_tpu.parallel.mesh import (
+                MODEL_AXIS,
+                get_active_mesh,
+            )
+
+            mesh = get_active_mesh()
+            sp_size = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
+            if sp_size > 1 and n % sp_size == 0:
+                from dalle2_video_tpu.parallel.sp_attention import (
+                    sequence_parallel_mqa,
+                )
+
+                out = sequence_parallel_mqa(
+                    q, k, v, mesh, sm_scale=scale, null_kv=(nk, nv)
+                ).reshape(b, n, inner)
+                out = nn.Dense(self.dim, use_bias=False,
+                               kernel_init=torch_kernel_init, name="to_out")(out)
+                return ScaleOnlyLayerNorm(name="out_norm")(out)
+            impl = (
+                "flash"
+                if n >= 4096 and jax.default_backend() != "cpu"
+                else "xla"
+            )
+
+        k = jnp.concatenate([nk, k], axis=1)
+        v = jnp.concatenate([nv, v], axis=1)
+
+        if impl == "flash" and simple:
             from dalle2_video_tpu.ops.pallas.flash_mqa import mqa_attention
 
             out = mqa_attention(q, k, v, sm_scale=scale).reshape(b, n, inner)
@@ -444,10 +493,12 @@ class JointSpaceTimeAttention(nn.Module):
     dim_head: int = 32
     cosine_sim: bool = False
     joint_time: bool = True  # False: per-frame (spatial-only) attention
-    # "xla" | "flash" | "auto". auto picks by STATIC token count: flash wins
-    # the full train step past ~4k joint tokens (probe21: 89.0 vs 97.0 ms at
-    # the 90-frame SR stage, 5760 tokens) and is the only compilable option
-    # at 23k; below that XLA's fusion wins. Decided at trace time.
+    # "xla" | "flash" | "auto" | "sp". auto picks by STATIC token count:
+    # flash wins the full train step past ~4k joint tokens (probe21: 89.0 vs
+    # 97.0 ms at the 90-frame SR stage, 5760 tokens) and is the only
+    # compilable option at 23k; below that XLA's fusion wins. Decided at
+    # trace time. "sp" = sequence-parallel flash over the active mesh's
+    # 'model' axis (Attention handles the fallback when no mesh is active).
     impl: str = "xla"
 
     @nn.compact

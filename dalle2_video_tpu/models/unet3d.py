@@ -105,10 +105,14 @@ class UNet3DConfig:
     # False -> spatial-only (per-frame) attention everywhere; used by
     # UnetTemporalConv (frame-wise 2D unet + temporal conv mixer)
     joint_time_attention: bool = True
-    # "xla" | "flash" | "auto": flash routes the joint attention through the
-    # Pallas streaming MQA kernel (custom VJP — trains); auto picks flash at
-    # >=4096 joint tokens where it measured faster than XLA in the full
-    # train step (docs/PERF.md probe21), XLA below
+    # "xla" | "flash" | "auto" | "sp": flash routes the joint attention
+    # through the Pallas streaming MQA kernel (custom VJP — trains); auto
+    # picks flash at >=4096 joint tokens where it measured faster than XLA
+    # in the full train step (docs/PERF.md probe21), XLA below. "sp" shards
+    # the TOKEN axis over the mesh's 'model' axis (flash kernel per shard,
+    # kv gathered over ICI — parallel/sp_attention.py) when a mesh is
+    # active (parallel.mesh.active_mesh, set by the sharded step factories);
+    # otherwise it degrades to the auto rule.
     attention_impl: str = "xla"
     # "xla" | "pallas": pallas fuses GroupNorm+FiLM+SiLU (custom VJP)
     groupnorm_impl: str = "xla"

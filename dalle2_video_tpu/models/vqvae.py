@@ -7,10 +7,12 @@ encoder/decoder with a vector-quantized bottleneck, exposing the same
 interface as models/vae.py (encoded_dim, get_encoded_fmap_size,
 encode/decode) so VideoDecoder can run latent diffusion per stage.
 
-TPU-first: straight-through estimator + EMA codebook updates (no gradient
-through the argmin); the nearest-code search is one big (n, K) matmul on
-the MXU. The adversarial/perceptual parts of VQGAN training are out of
-scope (the reference never trains a VAE either — NullVQGanVAE ships).
+TPU-first: straight-through estimator with LOSS-BASED codebook learning
+(the van-den-Oord embed + beta*commit terms — codes move by gradient, not
+EMA accumulators); the nearest-code search is one big (n, K) matmul on the
+MXU. Adversarial (PatchGAN) training lives in train/vqgan_trainer.py +
+models/discriminator.py (beyond the reference, which ships NullVQGanVAE
+and never trains a VAE).
 """
 
 from __future__ import annotations
@@ -27,7 +29,8 @@ from dalle2_video_tpu.models.vae import _ConvDecoder, _ConvEncoder
 
 
 class VectorQuantizer(nn.Module):
-    """EMA codebook VQ layer (van den Oord et al.; straight-through)."""
+    """VQ layer (van den Oord et al.): straight-through estimator, codebook
+    learned by the embed + beta*commit loss terms (NOT EMA updates)."""
 
     codebook_size: int = 512
     latent_dim: int = 4

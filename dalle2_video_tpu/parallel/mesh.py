@@ -13,6 +13,7 @@ and are inserted by the partitioner from sharding annotations only.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence
 
 import jax
@@ -21,6 +22,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+# trace-time mesh discovery for mesh-aware layers (sequence-parallel
+# attention): the sharded step factories trace the model under
+# ``with active_mesh(mesh):`` so modules deep in the network can reach the
+# mesh without threading it through every config/call signature.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+@contextlib.contextmanager
+def active_mesh(mesh: Optional[Mesh]):
+    """Set the mesh visible to get_active_mesh() for the duration (trace
+    time — jit bodies run under this context when the factories in
+    parallel/sharded.py build the step)."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield mesh
+    finally:
+        _ACTIVE_MESH = prev
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
 
 
 def create_mesh(

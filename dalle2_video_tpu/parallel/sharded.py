@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dalle2_video_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from dalle2_video_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, active_mesh
 from dalle2_video_tpu.train.trainer import DecoderTrainer, TrainState
 
 
@@ -148,12 +148,15 @@ def make_sharded_train_step(
     repl = NamedSharding(mesh, P())
 
     def step(state, rng, video, video_embed=None, text_encodings=None):
-        return trainer.train_step(
-            state, rng, video,
-            video_embed=video_embed,
-            text_encodings=text_encodings,
-            unet_number=unet_number,
-        )
+        # the trace runs under active_mesh so mesh-aware layers (sequence-
+        # parallel attention) can discover the mesh at trace time
+        with active_mesh(mesh):
+            return trainer.train_step(
+                state, rng, video,
+                video_embed=video_embed,
+                text_encodings=text_encodings,
+                unet_number=unet_number,
+            )
 
     in_shardings: list = [None, repl, batch_sh]
     if with_embed:
@@ -192,12 +195,13 @@ def make_sharded_train_steps_scan(
     def wrapped(state, rng, videos, *conds):
         video_embeds = conds[0] if with_embed else None
         text = (conds[1] if with_embed else conds[0]) if with_text else None
-        return trainer.train_steps_scan(
-            state, rng, videos,
-            video_embeds=video_embeds,
-            text_encodings=text,
-            unet_number=unet_number,
-        )
+        with active_mesh(mesh):
+            return trainer.train_steps_scan(
+                state, rng, videos,
+                video_embeds=video_embeds,
+                text_encodings=text,
+                unet_number=unet_number,
+            )
 
     in_shardings: list = [None, repl, batch_sh]
     if with_embed:
@@ -218,12 +222,13 @@ def make_sharded_sample_stage(decoder, mesh: Mesh, stage_index: int, **fixed):
     repl = NamedSharding(mesh, P())
 
     def run(params, rng, video_embed, prev_video):
-        return decoder.sample_stage(
-            stage_index, params, rng,
-            batch_size=video_embed.shape[0],
-            prev_video=prev_video,
-            video_embed=video_embed,
-            **fixed,
-        )
+        with active_mesh(mesh):
+            return decoder.sample_stage(
+                stage_index, params, rng,
+                batch_size=video_embed.shape[0],
+                prev_video=prev_video,
+                video_embed=video_embed,
+                **fixed,
+            )
 
     return jax.jit(run, in_shardings=(repl, repl, batch_sh, batch_sh))

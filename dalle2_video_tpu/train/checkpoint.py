@@ -75,29 +75,35 @@ class RollingCheckpointManager:
                 best_mode="min", enable_async_checkpointing=True,
             ),
         ) if best_k else None
+        self._best_k = best_k
         self._metric_key = metric_key
         (self._dir / _VERSION_KEY).write_text(__version__)
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         if self._best_mgr is not None and metrics and self._metric_key in metrics:
-            # only materialize a best/ copy when this step beats the kept set
-            best = self._best_mgr.best_step()
-            prev = self._best_metrics() if best is not None else None
-            if prev is None or metrics[self._metric_key] < prev:
+            # materialize a best/ copy whenever this step belongs in the kept
+            # set: the gate compares against the WORST kept metric (not the
+            # best — that starved slots 2..k for best_k > 1); orbax's
+            # best_fn/max_to_keep retention then evicts the displaced one
+            kept = self._kept_metrics()
+            worst = max(kept) if len(kept) >= self._best_k else None
+            if worst is None or metrics[self._metric_key] < worst:
                 self._best_mgr.save(
                     step, args=ocp.args.StandardSave(state), metrics=metrics
                 )
 
-    def _best_metrics(self) -> Optional[float]:
-        best = self._best_mgr.best_step()
-        if best is None:
-            return None
-        try:
-            m = self._best_mgr.metrics(best)
-            return None if m is None else m.get(self._metric_key)
-        except Exception:  # noqa: BLE001 — metrics sidecar missing
-            return None
+    def _kept_metrics(self) -> list:
+        """Metric values of every checkpoint currently kept in best/."""
+        vals = []
+        for s in self._best_mgr.all_steps():
+            try:
+                m = self._best_mgr.metrics(s)
+            except Exception:  # noqa: BLE001 — metrics sidecar missing
+                m = None
+            if m is not None and self._metric_key in m:
+                vals.append(m[self._metric_key])
+        return vals
 
     def restore_latest(self, target: Any) -> Any:
         step = self._mgr.latest_step()

@@ -83,6 +83,8 @@ timesteps: 10
 sample_timesteps: null
 learned_variance: false
 decoder: {{batch_size: 4, epochs: 1, bf16_compute: false}}
+loader: grain
+loader_workers: 0
 decoder_trainer: {{lr: 3.0e-4, wd: 1.0e-2, use_ema: true, ema_beta: 0.99, ema_update_after_step: 1, ema_update_every: 1, max_grad_norm: 0.5, grad_accum: 1}}
 prior: {{depth: 1, heads: 2, dim_head: 8, timesteps: 10, sample_timesteps: 4, batch_size: 4, lr: 1.0e-3, epochs: 2}}
 """

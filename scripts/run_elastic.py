@@ -43,8 +43,12 @@ def main() -> int:
     ap.add_argument("--hang-secs", type=float, default=3600.0,
                     help="restart if no metrics-file progress for this long "
                          "(first compile can take 20+ min on TPU — keep high)")
-    ap.add_argument("--watch", default="runs/**/*.jsonl",
-                    help="glob of heartbeat files (metrics JSONL)")
+    ap.add_argument("--watch", default=None,
+                    help="glob of heartbeat files (metrics JSONL). Default: "
+                         "derived from the supervised command's run_dir/"
+                         "train_name overrides so a concurrently active "
+                         "sibling run can't mask a hang in THIS child; "
+                         "falls back to runs/**/*.jsonl if underivable")
     ap.add_argument("--backoff", type=float, default=10.0)
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- followed by the training command")
@@ -52,6 +56,25 @@ def main() -> int:
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
     if not cmd:
         ap.error("no command given (use: run_elastic.py [opts] -- python ...)")
+
+    if args.watch is None:
+        # per-run heartbeat: MetricsLogger writes
+        # {run_dir}/{stage}_{train_name}.metrics.jsonl — watch only THIS
+        # run's files (ADVICE r2: the global runs/**/*.jsonl default let any
+        # concurrent run keep the heartbeat fresh and mask a hang here)
+        overrides = dict(a.split("=", 1) for a in cmd if "=" in a and
+                         not a.startswith("-"))
+        run_dir = overrides.get("run_dir", "runs")
+        train_name = overrides.get("train_name")
+        if train_name:
+            args.watch = f"{run_dir}/*{train_name}*.jsonl"
+        else:
+            args.watch = f"{run_dir}/**/*.jsonl"
+            print(f"[elastic] WARNING: no train_name override found; "
+                  f"watching {args.watch} — concurrent runs in the same "
+                  f"run_dir can mask a hang (pass --watch to pin)",
+                  flush=True)
+    print(f"[elastic] heartbeat glob: {args.watch}", flush=True)
 
     restarts = 0
     while True:

@@ -118,10 +118,11 @@ def main() -> None:
                 state, text_params,
                 jnp.asarray(batch["videos"]), jnp.asarray(batch["texts"]),
             )
-            train_metrics.append({k: float(v) for k, v in metrics.items()})
+            train_metrics.append(metrics)  # on device; one sync per epoch
         if train_metrics:
             mlog.log(
-                {f"train/{k}": float(np.mean([m[k] for m in train_metrics]))
+                {f"train/{k}": float(jnp.mean(jnp.stack(
+                    [m[k] for m in train_metrics])))
                  for k in train_metrics[0]},
                 step=int(state.step),
             )

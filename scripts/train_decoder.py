@@ -50,8 +50,11 @@ def build_decoder(cfg):
             timesteps=cfg["timesteps"],
             sample_timesteps=cfg.get("sample_timesteps"),
             learned_variance=cfg.get("learned_variance", False),
-            # bf16 denoiser forward at sample time (diffusion math stays f32)
-            sample_compute_dtype=cfg.get("sample_compute_dtype", "bfloat16"),
+            # bf16 denoiser forward at sample time (diffusion math stays f32).
+            # No script-side default: absent key = None = f32 reference
+            # parity (VideoDecoderConfig default); the shipped yaml opts in
+            # to bfloat16 explicitly (configs/celebv_text.yaml).
+            sample_compute_dtype=cfg.get("sample_compute_dtype"),
         )
     )
 
@@ -135,14 +138,39 @@ def main() -> None:
     # contributes bs/process_count samples to the global batch
     proc, nproc = jax.process_index(), jax.process_count()
     assert bs % nproc == 0, f"batch {bs} not divisible by {nproc} hosts"
-    train_loader = BatchLoader(
-        ds, bs // nproc, splits["train"], shuffle=True, seed=cfg["seed"],
-        shard_index=proc, num_shards=nproc,
-    )
-    val_loader = BatchLoader(
-        ds, bs // nproc, splits["val"], shuffle=False,
-        shard_index=proc, num_shards=nproc,
-    )
+    if str(cfg.get("loader", "thread")) == "grain" and not smoke:
+        # production loader: grain worker PROCESSES do the h5/.vshard reads
+        # (data/grain_pipeline.py); one DataLoader per epoch so the seeded
+        # reshuffle matches BatchLoader's seed+epoch behavior
+        from dalle2_video_tpu.data.grain_pipeline import make_grain_loader
+
+        workers = int(cfg.get("loader_workers", 4))
+
+        class _GrainEpochs:
+            def __init__(self, indices, shuffle):
+                self.indices, self.shuffle, self.epoch = indices, shuffle, 0
+
+            def __iter__(self):
+                loader = make_grain_loader(
+                    ds, bs // nproc, self.indices, shuffle=self.shuffle,
+                    seed=cfg["seed"] + self.epoch, num_epochs=1,
+                    shard_index=proc, num_shards=nproc,
+                    worker_count=workers,
+                )
+                self.epoch += 1
+                return iter(loader)
+
+        train_loader = _GrainEpochs(splits["train"], True)
+        val_loader = _GrainEpochs(splits["val"], False)
+    else:
+        train_loader = BatchLoader(
+            ds, bs // nproc, splits["train"], shuffle=True, seed=cfg["seed"],
+            shard_index=proc, num_shards=nproc,
+        )
+        val_loader = BatchLoader(
+            ds, bs // nproc, splits["val"], shuffle=False,
+            shard_index=proc, num_shards=nproc,
+        )
 
     decoder = build_decoder(cfg)
     trainer = build_trainer(cfg, decoder)
@@ -226,7 +254,7 @@ def main() -> None:
                 for u in (1, 2):
                     key, k = jax.random.split(key)
                     state, losses_k = scan_steps[u](state, k, vid, emb)
-                    train_sums[u].extend(np.asarray(losses_k).tolist())
+                    train_sums[u].append(losses_k)  # (K,) stays on device
             # tail batches (< K) go through the single-step path
             for batch in pending:
                 vid, emb = shard_batch(
@@ -236,23 +264,32 @@ def main() -> None:
                 for u in (1, 2):
                     key, k = jax.random.split(key)
                     state, loss = steps[u](state, k, vid, emb)
-                    train_sums[u].append(float(loss))
+                    train_sums[u].append(loss)
         else:
             for batch in train_loader:
                 vid, emb = shard_batch(
                     mesh,
                     (jnp.asarray(batch["videos"]), jnp.asarray(batch["video_embeds"])),
                 )
-                # both unets trained each batch (reference train_decoder.py:127-138)
+                # both unets trained each batch (reference train_decoder.py:127-138).
+                # Losses stay ON DEVICE here: a per-step float(loss) round-trips
+                # the tunnel (2-4 s/step under load — the r2 ref-recipe curve
+                # ran 10x slower than its benched device step); the single
+                # device_get at epoch end drains the dispatch queue once.
                 for u in (1, 2):
                     key, k = jax.random.split(key)
                     state, loss = steps[u](state, k, vid, emb)
-                    train_sums[u].append(float(loss))
+                    train_sums[u].append(loss)
         if train_sums[1]:
+            means = jax.device_get(
+                [jnp.mean(jnp.concatenate(
+                    [jnp.atleast_1d(l) for l in train_sums[u]]))
+                 for u in (1, 2)]
+            )  # ONE host sync per epoch
             mlog.log(
                 {
-                    "train/loss_unet1": float(np.mean(train_sums[1])),
-                    "train/loss_unet2": float(np.mean(train_sums[2])),
+                    "train/loss_unet1": float(means[0]),
+                    "train/loss_unet2": float(means[1]),
                 },
                 step=int(state.steps[0]),
             )
@@ -263,9 +300,11 @@ def main() -> None:
             emb = jnp.asarray(batch["video_embeds"])
             for u in (1, 2):
                 key, k = jax.random.split(key)
-                val_sums[u].append(float(eval_losses[u](state, k, vid, emb)))
+                val_sums[u].append(eval_losses[u](state, k, vid, emb))
         if val_sums[1]:
-            v1, v2 = np.mean(val_sums[1]), np.mean(val_sums[2])
+            v1, v2 = (
+                float(jnp.mean(jnp.stack(val_sums[u]))) for u in (1, 2)
+            )
             mlog.log({"val/loss_unet1": v1, "val/loss_unet2": v2},
                      step=int(state.steps[0]))
             step_now = int(state.steps[0])

@@ -81,11 +81,11 @@ def main():
         key, k = jax.random.split(key)
         state, loss = step(state, k, jnp.asarray(pool[idx]),
                            jnp.asarray(embs[idx]))
-        losses.append(float(loss))
+        losses.append(loss)  # on device; synced once per 50-step window
         if i == 0:
             print(f"first step (compile): {time.time()-t0:.0f}s", flush=True)
         if (i + 1) % 50 == 0:
-            m = float(np.mean(losses[-50:]))
+            m = float(jnp.mean(jnp.stack(losses[-50:])))
             mlog.log({"train/loss": m}, step=i + 1)
             print(f"step {i+1}: loss(mean50)={m:.4f}", flush=True)
     dt = (time.time() - t0) / STEPS

@@ -91,12 +91,13 @@ def main() -> None:
                 params, opt_state, k,
                 jnp.asarray(batch["video_embeds"]), jnp.asarray(batch["text_embeds"]),
             )
-            epoch_losses.append(float(loss))
+            epoch_losses.append(loss)  # on device; one sync per epoch below
             gstep += 1
         # epoch-MEAN loss (matches reference epoch-mean logging, not
         # last-batch noise — reference train_clip.py:172-191 pattern)
         if epoch_losses:
-            mlog.log({"train/loss": float(np.mean(epoch_losses))}, step=gstep)
+            mlog.log({"train/loss": float(jnp.mean(jnp.stack(epoch_losses)))},
+                     step=gstep)
 
         vals = []
         for batch in val_loader:

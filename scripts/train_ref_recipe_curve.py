@@ -79,12 +79,16 @@ def main():
             key, k = jax.random.split(key)
             state, loss = steps[u](state, k, jnp.asarray(pool[idx]),
                                    jnp.asarray(embs[idx]))
-            losses.append(float(loss))
+            # keep the loss on device: a per-step float() round-trips the
+            # tunnel at 2-4 s/step under load (the r2 run of this script
+            # measured 2053 ms/step wall vs 189 ms benched device step);
+            # sync once per 50-step logging window instead
+            losses.append(loss)
             if i == 0:
                 print(f"stage {u} first step (compile): "
                       f"{time.time()-t0:.0f}s", flush=True)
             if (i + 1) % 50 == 0:
-                m = float(np.mean(losses[-50:]))
+                m = float(jnp.mean(jnp.stack(losses[-50:])))  # sync point
                 mlog.log({f"train/loss_unet{u}": m}, step=i + 1)
                 print(f"stage {u} step {i+1}: loss(mean50)={m:.4f}",
                       flush=True)

@@ -104,15 +104,17 @@ def main() -> None:
     gstep = 0
 
     for epoch in range(vq.get("epochs", 10)):
-        sums, n = {}, 0
+        epoch_metrics = []
         for batch in train_loader:
             state, metrics = step(state, jnp.asarray(batch["videos"]))
             gstep += 1
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
-        if n:  # epoch-mean logging (not last-batch noise)
-            mlog.log({f"train/{k}": v / n for k, v in sums.items()}, step=gstep)
+            epoch_metrics.append(metrics)  # on device; one sync per epoch
+        if epoch_metrics:  # epoch-mean logging (not last-batch noise)
+            mlog.log(
+                {f"train/{k}": float(jnp.mean(jnp.stack(
+                    [m[k] for m in epoch_metrics])))
+                 for k in epoch_metrics[0]},
+                step=gstep)
 
         vals = []
         for batch in val_loader:

@@ -136,6 +136,30 @@ def test_rotary_embed_properties():
     np.testing.assert_allclose(dot_at(2, 5), dot_at(4, 7), rtol=1e-5)
 
 
+def test_rotary_embed_partial_interleaved():
+    """dalle2-pytorch parity details (ADVICE r2): only the first
+    min(32, dim_head) dims rotate; rotation is interleaved (x[2i], x[2i+1])
+    pairs — position-0 rows are unchanged, dims >= 32 always pass through."""
+    import numpy as np
+
+    from dalle2_video_tpu.models.layers import rotary_embed
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 6, 64))
+    r = rotary_embed(x)
+    # dims beyond rot_dim=32 are never rotated
+    np.testing.assert_allclose(
+        np.asarray(r[..., 32:]), np.asarray(x[..., 32:]), atol=0)
+    # position 0 has angle 0 everywhere -> identity on the rotated slice
+    np.testing.assert_allclose(
+        np.asarray(r[:, 0]), np.asarray(x[:, 0]), atol=1e-6)
+    # interleaved convention: at position n, pair (0,1) rotates by angle n
+    # (inv_freq[0] = 1), so r[...,0] = x0*cos(n) - x1*sin(n)
+    n = 3
+    expected = x[:, n, 0] * jnp.cos(float(n)) - x[:, n, 1] * jnp.sin(float(n))
+    np.testing.assert_allclose(
+        np.asarray(r[:, n, 0]), np.asarray(expected), rtol=1e-5)
+
+
 def test_rel_pos_bias_causal_buckets():
     """Bias depends only on (query - key) distance; shape (heads, n, n)."""
     import numpy as np

@@ -365,21 +365,84 @@ def test_train_steps_scan_matches_loop(trainer_and_state):
 
 
 def test_sequence_parallel_mqa_matches_local(mesh8):
-    """Token-sharded MQA attention == single-device reference (exact SP)."""
+    """Token-sharded flash MQA == single-device reference (exact SP), with
+    the replicated null kv prepended after the gather; gradients flow
+    through the shard_map + flash custom VJP."""
     from dalle2_video_tpu.parallel.sp_attention import sequence_parallel_mqa
 
     b, n, h, d = 2, 64, 4, 16  # n divisible by model axis (2)
-    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
     q = jax.random.normal(keys[0], (b, n, h, d))
     k = jax.random.normal(keys[1], (b, n, d))
     v = jax.random.normal(keys[2], (b, n, d))
+    nk = jax.random.normal(keys[3], (b, 1, d))
+    nv = jax.random.normal(keys[4], (b, 1, d))
     scale = d**-0.5
-    sim = jnp.einsum("bnhd,bmd->bhnm", q * scale, k)
-    expected = jnp.einsum("bhnm,bmd->bnhd", jax.nn.softmax(sim, -1), v)
+
+    def local_ref(q_, k_, v_):
+        kk = jnp.concatenate([nk, k_], axis=1)
+        vv = jnp.concatenate([nv, v_], axis=1)
+        sim = jnp.einsum("bnhd,bmd->bhnm", q_ * scale, kk)
+        return jnp.einsum("bhnm,bmd->bnhd", jax.nn.softmax(sim, -1), vv)
+
     got = jax.jit(
-        lambda a, b_, c: sequence_parallel_mqa(a, b_, c, mesh8, sm_scale=scale)
+        lambda a, b_, c: sequence_parallel_mqa(
+            a, b_, c, mesh8, sm_scale=scale, null_kv=(nk, nv))
     )(q, k, v)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(local_ref(q, k, v)), atol=2e-5)
+
+    # gradient parity (the 23k regime is a TRAINING path)
+    gsp = jax.jit(jax.grad(lambda a, b_, c: jnp.sum(sequence_parallel_mqa(
+        a, b_, c, mesh8, sm_scale=scale, null_kv=(nk, nv)) ** 2),
+        argnums=(0, 1, 2)))(q, k, v)
+    gref = jax.grad(lambda a, b_, c: jnp.sum(local_ref(a, b_, c) ** 2),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gsp, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_unet_sp_attention_trains_on_mesh(mesh8):
+    """attention_impl='sp' end to end: the sharded train step (which traces
+    under active_mesh) runs with the joint-attention token axis sharded over
+    'model', and matches the attention_impl='xla' loss on the same params —
+    a scaled-down long-context shape (8 frames -> 512 joint tokens over a
+    4x2 mesh). VERDICT r2 #5."""
+    import dataclasses
+
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+    from dalle2_video_tpu.parallel.sharded import make_sharded_train_step, shard_state
+    from dalle2_video_tpu.parallel import shard_batch
+
+    unet = UNet3DConfig(
+        dim=16, dim_mults=(1, 2), video_embed_dim=32,
+        num_resnet_blocks=1, attn_heads=2, attn_dim_head=8,
+        attention_impl="sp",
+    )
+    cfg = VideoDecoderConfig(
+        unets=(unet,), frame_sizes=(16,), frame_numbers=(8,),
+        timesteps=20, learned_variance=False,
+    )
+    dec = VideoDecoder(cfg)
+    trainer = DecoderTrainer(dec, DecoderTrainerConfig(lr=1e-3, use_ema=False))
+    state = shard_state(trainer.init_state(jax.random.PRNGKey(0)), mesh8)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 16, 16, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (4, 32))
+    vid_sh, emb_sh = shard_batch(mesh8, (video, emb))
+
+    step = make_sharded_train_step(trainer, mesh8, 1)
+    state2, loss_sp = step(state, jax.random.PRNGKey(3), vid_sh, emb_sh)
+    assert np.isfinite(float(loss_sp))
+    assert int(state2.steps[0]) == 1
+
+    # same params + rng through the XLA attention path -> same loss
+    dec_x = VideoDecoder(dataclasses.replace(
+        cfg, unets=(dataclasses.replace(unet, attention_impl="xla"),)))
+    trainer_x = DecoderTrainer(dec_x, DecoderTrainerConfig(lr=1e-3, use_ema=False))
+    step_x = make_sharded_train_step(trainer_x, mesh8, 1)
+    _, loss_x = step_x(state, jax.random.PRNGKey(3), vid_sh, emb_sh)
+    np.testing.assert_allclose(float(loss_sp), float(loss_x), rtol=2e-4)
 
 
 def test_nonfinite_step_skipped():
@@ -429,6 +492,30 @@ def test_rolling_checkpoint_manager(tmp_path):
         {"w": jnp.zeros(4), "step": jnp.zeros((), jnp.int32)}
     )
     assert int(best["step"]) == 2  # val_loss 1.0 was the best
+    mgr.close()
+
+
+def test_rolling_checkpoint_best_k_keeps_top_k(tmp_path):
+    """best_k=2 must keep the TWO best checkpoints: a step better than the
+    k-th best but worse than the best must still be saved (ADVICE r2: the
+    old gate compared against the single best and starved slots 2..k)."""
+    import jax.numpy as jnp
+
+    from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
+
+    mgr = RollingCheckpointManager(
+        str(tmp_path / "ckpts"), max_to_keep=1, best_k=2, metric_key="val_loss"
+    )
+    # step 1: loss 1.0 (overall best); step 2: loss 9.0 (kth best initially);
+    # step 3: loss 2.0 — better than 9.0 but worse than 1.0: must displace 2
+    for step, v in {1: 1.0, 2: 9.0, 3: 2.0, 4: 7.0}.items():
+        mgr.save(step, {"w": jnp.full(2, float(step))},
+                 metrics={"val_loss": v})
+        mgr.wait()
+    kept_best = sorted(mgr._best_mgr.all_steps())
+    assert kept_best == [1, 3], kept_best
+    best = mgr.restore_best({"w": jnp.zeros(2)})
+    assert float(best["w"][0]) == 1.0
     mgr.close()
 
 
