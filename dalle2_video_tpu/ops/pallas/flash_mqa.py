@@ -379,19 +379,28 @@ def flash_mqa(
     block_q: int = 512,
     block_k: Optional[int] = None,
     interpret: bool = False,
-    bwd_impl: str = "pallas",  # "pallas" | "xla_scan" (r2 reference impl)
+    bwd_impl: str = "auto",  # "auto" | "pallas" | "xla_scan"
     bwd_block_q: int = 512,
     bwd_block_k: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Differentiable flash MQA: Pallas streaming forward + Pallas streaming
-    backward (_bwd_pallas; recomputed P tiles from the saved row logsumexp).
-    r3 A/B at the 23k-token SR bottleneck: 245.8 ms full VJP vs 410.5 ms for
-    bwd_impl="xla_scan" (the r2 blockwise-scan backward, kept for A/B);
-    probe runs/perf_r3_probe1.jsonl."""
+    """Differentiable flash MQA: Pallas streaming forward + a backward
+    chosen per GEOMETRY (r3 probes 1/5, runs/perf_r3_probe{1,5}.jsonl):
+
+      * batch >= 2: the Pallas streaming backward (_bwd_pallas, recomputed
+        P tiles from the saved row logsumexp) — 245.8 ms full VJP at the
+        (b=2, 23k-token) SR bottleneck vs 410.5 ms for the r2 XLA scan
+      * batch == 1: the blockwise XLA-scan backward — at (b=1, 23k) it
+        measures FASTER than the Pallas pair (108.3 vs 127.6 ms; XLA's
+        single-batch scan einsums tile the MXU better than two extra
+        kernel launches), and ties at 5.7k tokens
+
+    "auto" applies that rule at trace time from the static batch dim."""
     if block_k is None:
         block_k = _auto_block_k(k.shape[1])
     if bwd_block_k is None:
         bwd_block_k = _auto_block_k(k.shape[1])
+    if bwd_impl == "auto":
+        bwd_impl = "pallas" if q.shape[0] >= 2 else "xla_scan"
     return _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret,
                            bwd_impl, bwd_block_q, bwd_block_k)
 
@@ -489,7 +498,7 @@ def mqa_attention(
     block_q: int = 512,
     block_k: Optional[int] = None,
     interpret: bool = False,
-    bwd_impl: str = "pallas",
+    bwd_impl: str = "auto",
     bwd_block_q: int = 512,
     bwd_block_k: Optional[int] = None,
 ) -> jnp.ndarray:

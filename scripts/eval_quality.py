@@ -70,7 +70,7 @@ def vivit_embed_fn(vivit_ckpt=None):
     from dalle2_video_tpu.models.vivit import ViViT, ViViTConfig
 
     vcfg = ViViTConfig(dim=256, num_frames=16, frame_size=64, patch_size=16,
-                       depth=2, heads=4, dim_head=32)
+                       depth=2, heads=4, dim_head=32, scale_dim_conv=2)
     vivit = ViViT(vcfg)
     if vivit_ckpt:
         from dalle2_video_tpu.train.checkpoint import load_checkpoint

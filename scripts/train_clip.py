@@ -132,13 +132,17 @@ def main() -> None:
             m = eval_step(state, text_params,
                           jnp.asarray(batch["videos"]), jnp.asarray(batch["texts"]))
             val_metrics.append({k: float(v) for k, v in m.items()})
+        metrics = None
         if val_metrics:
             agg = {f"val/{k}": float(np.mean([m[k] for m in val_metrics]))
                    for k in val_metrics[0]}
             mlog.log(agg, step=int(state.step))
-            if ckpt_mgr.latest_step() != int(state.step):
-                ckpt_mgr.save(int(state.step), state,
-                              metrics={"val_loss": agg["val/loss"]})
+            metrics = {"val_loss": agg["val/loss"]}
+        # newest checkpoint saved EVERY epoch (reference saves *_last each
+        # epoch, train_clip.py:195-199 — val only gates the best/ copy);
+        # tiny corpora whose val split has no full batch still checkpoint
+        if ckpt_mgr.latest_step() != int(state.step):
+            ckpt_mgr.save(int(state.step), state, metrics=metrics)
         log.info("epoch %d done", epoch)
 
     ckpt_mgr.close()

@@ -301,16 +301,20 @@ def main() -> None:
             for u in (1, 2):
                 key, k = jax.random.split(key)
                 val_sums[u].append(eval_losses[u](state, k, vid, emb))
+        metrics = None
         if val_sums[1]:
             v1, v2 = (
                 float(jnp.mean(jnp.stack(val_sums[u]))) for u in (1, 2)
             )
             mlog.log({"val/loss_unet1": v1, "val/loss_unet2": v2},
                      step=int(state.steps[0]))
-            step_now = int(state.steps[0])
-            if ckpt_mgr.latest_step() != step_now:  # zero-batch epoch guard
-                ckpt_mgr.save(step_now, state,
-                              metrics={"val_loss": float(v1 + v2)})
+            # summed val loss selects best (reference train_decoder.py:177-184)
+            metrics = {"val_loss": float(v1 + v2)}
+        step_now = int(state.steps[0])
+        # newest checkpoint EVERY epoch (reference saves decoder_last each
+        # epoch; val only gates the best/ copy)
+        if ckpt_mgr.latest_step() != step_now:  # zero-batch epoch guard
+            ckpt_mgr.save(step_now, state, metrics=metrics)
         log.info("epoch %d done", epoch)
 
     ckpt_mgr.close()

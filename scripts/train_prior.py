@@ -106,11 +106,15 @@ def main() -> None:
                 params, k,
                 jnp.asarray(batch["video_embeds"]), jnp.asarray(batch["text_embeds"]),
             )))
+        metrics = None
         if vals:
             v = float(np.mean(vals))
             mlog.log({"val/loss": v}, step=gstep)
-            if ckpt_mgr.latest_step() != gstep:
-                ckpt_mgr.save(gstep, params, metrics={"val_loss": v})
+            metrics = {"val_loss": v}
+        # newest checkpoint every epoch; val only gates best/ (reference
+        # saves *_last each epoch)
+        if ckpt_mgr.latest_step() != gstep:
+            ckpt_mgr.save(gstep, params, metrics=metrics)
         log.info("epoch %d done", epoch)
 
     ckpt_mgr.close()

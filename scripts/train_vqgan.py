@@ -119,13 +119,15 @@ def main() -> None:
         vals = []
         for batch in val_loader:
             vals.append(eval_fn(state, jnp.asarray(batch["videos"])))
+        metrics = None
         if vals:
             mean = {k: float(np.mean([float(v[k]) for v in vals]))
                     for k in vals[0]}
             mlog.log(mean, step=gstep)
-            if ckpt_mgr.latest_step() != gstep:
-                ckpt_mgr.save(gstep, state.vae_params,
-                              metrics={"val_loss": mean["val/rec_l1"]})
+            metrics = {"val_loss": mean["val/rec_l1"]}
+        # newest checkpoint every epoch; val only gates best/
+        if ckpt_mgr.latest_step() != gstep:
+            ckpt_mgr.save(gstep, state.vae_params, metrics=metrics)
         log.info("epoch %d done (val rec_l1 %.4f)", epoch,
                  mean["val/rec_l1"] if vals else float("nan"))
 
