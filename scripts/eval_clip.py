@@ -49,11 +49,15 @@ def main() -> None:
 
     sample = next(iter(BatchLoader(ds, 1, shuffle=False)))
     state = trainer.init_state(rng, jnp.asarray(sample["videos"]))
-    from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
+    from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best, load_latest
     ckpt = Path(cfg["run_dir"]) / f"clip_{cfg['train_name']}"
     if has_checkpoint(str(ckpt)):
-        state = load_best(str(ckpt), state)
-        log.info("loaded %s", ckpt)
+        # reference parity: eval_clip loads video_encoder_LAST.pt
+        # (/root/reference/eval_clip.py:53-55), not best-on-val —
+        # `eval_ckpt=best` opts into the best-val checkpoint instead
+        which = str(cfg.get("eval_ckpt", "last"))
+        state = (load_best if which == "best" else load_latest)(str(ckpt), state)
+        log.info("loaded %s (%s)", ckpt, which)
     else:
         log.warning("no checkpoint at %s — using random encoder", ckpt)
     text_params = trainer.init_text_params(rng, cfg["clip"].get("openai_ckpt"))

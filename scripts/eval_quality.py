@@ -37,7 +37,13 @@ RUN = Path("runs/r2_curve")
 OUT = Path("runs/eval_quality")
 N = 64          # sample count per ladder point (and real set size)
 BATCH = 16
-LADDER = (8, 16, 64, 250)  # DDIM step counts
+# DDIM step counts; override with e.g. `--ladder 250` to fill in one point
+LADDER = tuple(
+    int(x) for x in (
+        sys.argv[sys.argv.index("--ladder") + 1].split(",")
+        if "--ladder" in sys.argv else (8, 16, 64, 250)
+    )
+)
 COND_SCALE = 2.0
 EMB = 512
 
@@ -131,7 +137,14 @@ def main():
         if "--vivit" in sys.argv else None)
     print(f"FVD extractor: {provenance}", flush=True)
 
+    # resumable: merge into any prior results.json and write after every
+    # stage (a 250-step ladder point once died to a TPU-worker crash)
     results = {"extractor": provenance, "n": N, "cond_scale": COND_SCALE}
+    if (OUT / "results.json").exists():
+        results = {**json.loads((OUT / "results.json").read_text()), **results}
+
+    def flush():
+        (OUT / "results.json").write_text(json.dumps(results, indent=1))
 
     # calibration anchors
     feats_real = embed_fn(reals)
@@ -142,6 +155,7 @@ def main():
     results["fvd_real_vs_noise"] = round(
         compute_fvd(reals, noise, embed_fn), 3)
     print("anchors:", results, flush=True)
+    flush()
 
     # DDIM ladder on the base stage
     from dalle2_video_tpu.engine.decoder import VideoDecoder
@@ -163,6 +177,7 @@ def main():
         results[f"sample_s_ddim{st}"] = round(dt, 1)
         print(f"DDIM-{st}: FVD={fvd:.3f} ({dt:.0f}s for {N} clips)",
               flush=True)
+        flush()
         if st == 64:
             save_grid(OUT / "grid_base_ddim64.png", fakes)
             np.save(OUT / "samples_base_ddim64.npy", fakes[:8])
@@ -174,6 +189,7 @@ def main():
         params, k, video_embed=jnp.asarray(embs[:2]), cond_scale=COND_SCALE))
     save_grid(OUT / "grid_cascade_128px.png", casc, n_rows=2)
     results["cascade_sample_shape"] = list(casc.shape)
+    flush()
 
     # grid for the 90-frame ref-recipe artifact if present
     ref = Path("runs/ref_recipe_curve/sample_90f_128px.npy")

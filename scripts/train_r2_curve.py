@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+STEPS = (
+    int(sys.argv[1])
+    if len(sys.argv) > 1 and sys.argv[1].lstrip("-").isdigit()
+    else 600
+)  # digit guard: eval_quality.py imports blob_videos with its own argv
 B1, B2 = 8, 1  # per-stage batch (SR stage is 64 frames x 128px)
 EMB = 512
 RUN = Path("runs/r2_curve")
