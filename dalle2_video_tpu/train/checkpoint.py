@@ -46,6 +46,9 @@ class RollingCheckpointManager:
       blocked on HBM->disk serialization
     * keeps the newest ``max_to_keep`` step checkpoints
     * additionally keeps the ``best_k`` checkpoints by a metric (min mode)
+    * ``keep_period``: every keep_period-th step is retained PERMANENTLY
+      (a second retention class for long production runs — archival
+      snapshots survive the newest-K window)
     """
 
     def __init__(
@@ -55,6 +58,7 @@ class RollingCheckpointManager:
         max_to_keep: int = 3,
         best_k: int = 1,
         metric_key: str = "val_loss",
+        keep_period: Optional[int] = None,
     ):
         self._dir = Path(directory).absolute()
         self._dir.mkdir(parents=True, exist_ok=True)
@@ -65,7 +69,8 @@ class RollingCheckpointManager:
         self._mgr = ocp.CheckpointManager(
             self._dir / "recent",
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, enable_async_checkpointing=True
+                max_to_keep=max_to_keep, enable_async_checkpointing=True,
+                keep_period=keep_period,
             ),
         )
         self._best_mgr = ocp.CheckpointManager(

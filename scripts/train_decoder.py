@@ -206,6 +206,9 @@ def main() -> None:
         max_to_keep=int(cfg.get("ckpt_keep", 3)),
         best_k=1,
         metric_key="val_loss",
+        # optional archival class: every Nth step kept permanently
+        keep_period=(int(cfg["ckpt_keep_period"])
+                     if cfg.get("ckpt_keep_period") else None),
     )
     steps = {
         u: make_sharded_train_step(trainer, mesh, u, donate_state=False)

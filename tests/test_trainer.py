@@ -519,6 +519,26 @@ def test_rolling_checkpoint_best_k_keeps_top_k(tmp_path):
     mgr.close()
 
 
+def test_rolling_checkpoint_keep_period(tmp_path):
+    """keep_period retains every Nth step permanently alongside the
+    newest-K window (archival retention class for production runs)."""
+    import jax.numpy as jnp
+
+    from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
+
+    mgr = RollingCheckpointManager(
+        str(tmp_path / "ckpts"), max_to_keep=2, best_k=0, keep_period=4,
+    )
+    for step in range(1, 11):
+        mgr.save(step, {"w": jnp.full(2, float(step))})
+        mgr.wait()
+    kept = set(mgr.all_steps())
+    assert {4, 8} <= kept, kept       # archival multiples survive
+    assert {9, 10} <= kept, kept      # newest window intact
+    assert 5 not in kept and 6 not in kept, kept
+    mgr.close()
+
+
 def test_elastic_supervisor_restarts(tmp_path):
     """run_elastic.py restarts a crashing child and appends resume=true."""
     import subprocess
