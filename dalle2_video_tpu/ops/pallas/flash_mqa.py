@@ -41,69 +41,69 @@ NEG_INF = -1e30
 def _flash_mqa_kernel(
     q_ref,  # (BLOCK_Q, d) — q PRE-SCALED by sm_scale (saves a sim-size mul)
     k_ref,  # (BLOCK_K, d)
-    v_ref,  # (BLOCK_K, d)
+    v_ref,  # (BLOCK_K, 2d) — v columns then d MASKED-ONES columns (see below)
     *refs,
-    masked: bool,
+    d: int,
     save_lse: bool = False,
 ):
-    # Padding handling: kv padding is ZEROS, so padded columns produce
-    # s = 0. When padding exists (masked=True) a per-COLUMN 0/1 vector
-    # zeroes their p — one broadcast multiply per sim element instead of
-    # the old iota+add+compare+select (the sim-space VPU work, not the
-    # d=32 MXU dots, bounds this kernel). The padded 0 participating in
-    # the running max only shifts the softmax (shift-invariant, exact);
-    # p of real columns underflows only if every real logit < -87 —
-    # not reachable with a learned null kv in the stream.
+    # Fused softmax denominator (r3): v is extended with d extra columns
+    # that are 1 for real kv rows and 0 for padded rows, so the p @ v_ext
+    # dot accumulates [p@v | l, ..., l] in ONE MXU pass — at d=32 both
+    # halves live inside the same 128-lane MXU tile, so the denominator
+    # is free. This deletes the per-element VPU row-sum, the separate l
+    # scratch updates, AND the kvmask multiply of the r2 kernel (padding
+    # columns contribute zero to both halves through v_ext; the VPU work
+    # per sim element drops to sub+exp+max — docs/PERF.md r3 fwd diet).
+    # Padded columns still participate in the running max via s = 0
+    # (shift-invariant, exact); p of real columns underflows only if
+    # every real logit < -87 — not reachable with a learned null kv.
     refs = list(refs)
-    kvmask_ref = refs.pop(0) if masked else None
     o_ref = refs.pop(0)
     lse_ref = refs.pop(0) if save_lse else None
-    m_scratch, l_scratch, acc_scratch = refs
+    m_scratch, acc_scratch = refs
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
         m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
     q = q_ref[0]  # blocks carry a leading singleton batch dim
     k = k_ref[0]
-    v = v_ref[0]
+    v = v_ref[0]  # (BLOCK_K, 2d) extended
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BLOCK_Q, BLOCK_K)
 
     m_prev = m_scratch[:]
-    l_prev = l_scratch[:]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
 
     p = jnp.exp(s - m_next)  # (BLOCK_Q, BLOCK_K)
-    if masked:
-        p = p * kvmask_ref[0]  # (1, BLOCK_K) row broadcast
-    l_cur = jnp.sum(p, axis=1, keepdims=True)
     alpha = jnp.exp(m_prev - m_next)
-    l_next = l_prev * alpha + l_cur
 
+    # alpha rescale covers the l columns too — they ARE accumulator state
     acc = acc_scratch[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     m_scratch[:] = m_next
-    l_scratch[:] = l_next
     acc_scratch[:] = acc
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
-        o_ref[0] = (acc_scratch[:] / l_scratch[:]).astype(o_ref.dtype)
+        # columns [d:2d] all hold l — elementwise divide, no broadcast
+        # (slice the loaded VALUE, not the ref: lane-offset ref slices
+        # are not Mosaic-safe at d=32; value slices lower to vector ops)
+        a = acc_scratch[:]
+        o_ref[0] = (a[:, :d] / a[:, d:]).astype(o_ref.dtype)
         if save_lse:
-            # logsumexp of the REAL columns (masked p excluded padded ones):
+            # logsumexp of the REAL columns (v_ext zeroed padded ones):
             # exp(s_i - lse) are the exact softmax probabilities — the bwd
             # kernels recompute P tiles from this row statistic
-            lse_ref[0] = m_scratch[:] + jnp.log(l_scratch[:])
+            lse_ref[0] = (m_scratch[:] + jnp.log(a[:, d:]))[:, :1]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -443,19 +443,25 @@ def _flash_mqa_fwd_only(
         k = jnp.pad(k, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
 
+    # fused-denominator extension: d extra v columns of (1 if real row
+    # else 0) make the kernel's p @ v_ext dot carry l in its upper half
+    # (same 128-lane MXU tile at d<=64 — the denominator costs nothing);
+    # kv padding masks itself through these columns, so the kernel has
+    # no mask argument at all
+    ones_col = (jnp.arange(n_kv_pad) < n_kv).astype(v.dtype)
+    v_ext = jnp.concatenate(
+        [v, jnp.broadcast_to(ones_col[None, :, None], (b, n_kv_pad, d))],
+        axis=-1,
+    )
+
     grid = (b, n_q_pad // block_q, n_kv_pad // block_k)
-    masked = n_kv_pad != n_kv
 
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
         pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
-        pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
+        pl.BlockSpec((1, block_k, 2 * d), lambda bi, qi, ki: (bi, ki, 0)),
     ]
-    args = [q, k, v]
-    if masked:
-        kvmask = (jnp.arange(n_kv_pad) < n_kv).astype(jnp.float32)[None, :]
-        in_specs.append(pl.BlockSpec((1, block_k), lambda bi, qi, ki: (0, ki)))
-        args.append(kvmask)
+    args = [q, k, v_ext]
 
     out_specs = [pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0))]
     out_shape = [jax.ShapeDtypeStruct((b, n_q_pad, d), q.dtype)]
@@ -468,15 +474,14 @@ def _flash_mqa_fwd_only(
         out_shape.append(jax.ShapeDtypeStruct((b, n_q_pad, 1), jnp.float32))
 
     res = pl.pallas_call(
-        functools.partial(_flash_mqa_kernel, masked=masked, save_lse=save_lse),
+        functools.partial(_flash_mqa_kernel, d=d, save_lse=save_lse),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if save_lse else out_specs[0],
         out_shape=out_shape if save_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 2 * d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
