@@ -60,6 +60,20 @@ def main() -> None:
         log.info("loaded %s (%s)", ckpt, which)
     else:
         log.warning("no checkpoint at %s — using random encoder", ckpt)
+    if cfg.get("torch_vivit_ckpt"):
+        # reference interop: evaluate a torch video_encoder_{last,best}.pt
+        # directly (import proven equivalent in tests/test_torch_import.py)
+        import dataclasses as _dc
+
+        from dalle2_video_tpu.models.torch_import import load_vivit_torch_ckpt
+
+        state = _dc.replace(
+            state,
+            vivit_params=load_vivit_torch_ckpt(
+                str(cfg["torch_vivit_ckpt"]), vivit_cfg
+            ),
+        )
+        log.info("imported torch ViViT checkpoint %s", cfg["torch_vivit_ckpt"])
     text_params = trainer.init_text_params(rng, cfg["clip"].get("openai_ckpt"))
 
     embed_v = jax.jit(trainer.embed_video)

@@ -94,6 +94,21 @@ def main() -> None:
     sample = next(iter(train_loader))
     videos0 = jnp.asarray(sample["videos"])
     state = trainer.init_state(rng, videos0[:1])
+    if cfg.get("torch_vivit_ckpt"):
+        # warm-start from a reference torch video_encoder_{last,best}.pt
+        # (fresh optimizer state; import proven in tests/test_torch_import.py)
+        import dataclasses as _dc
+
+        from dalle2_video_tpu.models.torch_import import load_vivit_torch_ckpt
+
+        state = _dc.replace(
+            state,
+            vivit_params=load_vivit_torch_ckpt(
+                str(cfg["torch_vivit_ckpt"]),
+                trainer.vivit.cfg,
+            ),
+        )
+        log.info("warm-started ViViT from %s", cfg["torch_vivit_ckpt"])
     text_params = trainer.init_text_params(rng, cfg["clip"].get("openai_ckpt"))
     if cfg["clip"].get("openai_ckpt") is None:
         log.warning("no OpenAI CLIP ckpt given — text tower is randomly initialized")
