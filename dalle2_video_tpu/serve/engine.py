@@ -1,0 +1,126 @@
+"""Generation engine: bucketed, batched text -> video sampling.
+
+Owns the model-facing callable and the static-shape discipline XLA needs:
+
+  * requests are grouped by their *trace key* (cond_scale, ddim_steps) —
+    these are baked into the compiled sampler, so mixing them in one
+    batch is impossible (engine/decoder.py:326 "cond_scale is static")
+  * each dispatched group is padded up to the nearest batch *bucket*
+    (default 1/2/4/8) by repeating the last request, so steady-state
+    serving touches a finite set of compiled programs; padded rows are
+    sliced off before the response
+  * ``warmup()`` pre-compiles every bucket for the default trace key so
+    the first user request does not pay the 3-20 min axon compile
+
+The model callable has the signature
+    generate_batch(prompts, seeds, *, cond_scale, ddim_steps) -> (b, ...)
+(prompts: list[str], seeds: np.uint32 array) and is built from real
+prior+decoder checkpoints by scripts/serve.py — or any test double.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dalle2_video_tpu.serve.batcher import MicroBatcher
+
+
+@dataclass(frozen=True)
+class GenRequest:
+    prompt: str
+    seed: int = 0
+    cond_scale: float = 1.0
+    ddim_steps: Optional[int] = None  # None -> full DDPM schedule
+
+    @property
+    def trace_key(self) -> Tuple[float, Optional[int]]:
+        return (float(self.cond_scale), self.ddim_steps)
+
+
+def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class GenerationEngine:
+    def __init__(
+        self,
+        generate_batch: Callable[..., np.ndarray],
+        *,
+        buckets: Sequence[int] = (1, 2, 4, 8),
+        max_wait_ms: float = 10.0,
+        default_cond_scale: float = 1.0,
+        default_ddim_steps: Optional[int] = None,
+    ):
+        self._generate_batch = generate_batch
+        self._buckets = tuple(sorted(buckets))
+        self._default_key = (float(default_cond_scale), default_ddim_steps)
+        self._lock = threading.Lock()  # one device program at a time
+        self._batcher = MicroBatcher(
+            self._run_group,
+            max_batch=self._buckets[-1],
+            max_wait_ms=max_wait_ms,
+            key_fn=lambda req: req.trace_key,
+        )
+
+    # ------------------------------------------------------------- #
+    def submit(self, req: GenRequest) -> Future:
+        """Returns a Future resolving to a dict: video (np.ndarray for
+        THIS request), batch_size it rode in, device_ms of the call."""
+        return self._batcher.submit(req)
+
+    def generate(self, req: GenRequest, timeout: Optional[float] = None) -> dict:
+        return self.submit(req).result(timeout=timeout)
+
+    def warmup(self) -> dict:
+        """Compile every bucket at the default trace key; returns per-
+        bucket compile+run seconds (first call per shape = compile)."""
+        cond_scale, steps = self._default_key
+        timings = {}
+        for b in self._buckets:
+            reqs = [
+                GenRequest("warmup", seed=i, cond_scale=cond_scale,
+                           ddim_steps=steps)
+                for i in range(b)
+            ]
+            t0 = time.time()
+            # drive through the group runner directly (bypass the queue so
+            # warmup shapes are exactly the bucket shapes)
+            self._run_group(self._default_key, reqs)
+            timings[b] = round(time.time() - t0, 3)
+        return timings
+
+    def stats(self) -> dict:
+        return self._batcher.stats.snapshot()
+
+    def close(self) -> None:
+        self._batcher.close()
+
+    # ------------------------------------------------------------- #
+    def _run_group(self, key, reqs) -> list:
+        cond_scale, ddim_steps = key
+        n = len(reqs)
+        bucket = _next_bucket(n, self._buckets)
+        padded = list(reqs) + [reqs[-1]] * (bucket - n)
+        prompts = [r.prompt for r in padded]
+        seeds = np.asarray([r.seed for r in padded], dtype=np.uint32)
+        with self._lock:
+            t0 = time.time()
+            videos = self._generate_batch(
+                prompts, seeds, cond_scale=cond_scale, ddim_steps=ddim_steps
+            )
+            device_ms = (time.time() - t0) * 1e3
+        videos = np.asarray(videos)[:n]
+        return [
+            {"video": videos[i], "batch_size": n, "bucket": bucket,
+             "device_ms": round(device_ms, 1)}
+            for i in range(n)
+        ]

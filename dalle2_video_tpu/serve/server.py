@@ -1,0 +1,117 @@
+"""Dependency-free HTTP JSON API over the GenerationEngine.
+
+Endpoints (stdlib ThreadingHTTPServer — each request blocks its own
+thread on the engine Future while the micro-batcher coalesces):
+
+  POST /v1/generate   {"prompt": str, "seed": int?, "cond_scale": float?,
+                       "ddim_steps": int?, "format": "npy_b64"|"meta"}
+      -> {"shape": [...], "dtype": str, "batch_size": n, "bucket": b,
+          "device_ms": ms, "data_b64": <base64 .npy>?}
+  GET  /healthz       -> {"status": "ok", "device": "..."}
+  GET  /v1/stats      -> batching counters (requests, batches, mean size)
+
+``format: "meta"`` skips the payload (health probes / load tests);
+``npy_b64`` returns the full video tensor as a base64-encoded .npy.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from dalle2_video_tpu.serve.engine import GenerationEngine, GenRequest
+
+
+def _npy_b64(arr: np.ndarray) -> str:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def make_server(
+    engine: GenerationEngine,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    device_name: str = "unknown",
+) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        # quiet request logging (JSONL metrics cover serving logs)
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "device": device_name})
+            elif self.path == "/v1/stats":
+                self._json(200, engine.stats())
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/generate":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                req = GenRequest(
+                    prompt=str(payload["prompt"]),
+                    seed=int(payload.get("seed", 0)),
+                    cond_scale=float(payload.get("cond_scale", 1.0)),
+                    ddim_steps=(
+                        int(payload["ddim_steps"])
+                        if payload.get("ddim_steps") is not None
+                        else None
+                    ),
+                )
+            except (KeyError, ValueError, json.JSONDecodeError) as exc:
+                self._json(400, {"error": f"bad request: {exc}"})
+                return
+            try:
+                res = engine.generate(req, timeout=payload.get("timeout"))
+            except Exception as exc:  # noqa: BLE001 — surface as 500
+                self._json(500, {"error": str(exc)})
+                return
+            video = res["video"]
+            out = {
+                "shape": list(video.shape),
+                "dtype": str(video.dtype),
+                "batch_size": res["batch_size"],
+                "bucket": res["bucket"],
+                "device_ms": res["device_ms"],
+            }
+            if payload.get("format", "npy_b64") == "npy_b64":
+                out["data_b64"] = _npy_b64(video)
+            self._json(200, out)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(
+    engine: GenerationEngine,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    device_name: str = "unknown",
+    ready_event: Optional[threading.Event] = None,
+) -> None:
+    httpd = make_server(engine, host, port, device_name)
+    if ready_event is not None:
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()

@@ -1,0 +1,158 @@
+"""Production serving entry point: text -> video over HTTP.
+
+Builds the same prior+decoder stack as scripts/sample.py, wraps it in the
+continuous micro-batching GenerationEngine (static batch buckets, warmup
+pre-compile), and serves the JSON API from dalle2_video_tpu.serve.
+
+    python scripts/serve.py configs/celebv_text.yaml \
+        serve_port=8000 serve_buckets=[1,2,4] cond_scale=3.0 warmup=true
+
+Endpoints: POST /v1/generate {"prompt": ...}, GET /healthz, GET /v1/stats.
+The reference repo has no serving story at all — this is the deployment
+surface for the framework (see dalle2_video_tpu/serve/).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_generate_batch(cfg, log):
+    """Returns generate_batch(prompts, seeds, *, cond_scale, ddim_steps)
+    over the trained stack (same checkpoint resolution as scripts/sample.py)."""
+    from dalle2_video_tpu.data.tokenizer import tokenize
+    from dalle2_video_tpu.engine.dalle2video import DALLE2Video
+    from dalle2_video_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+    )
+    from dalle2_video_tpu.models.prior import (
+        DiffusionPrior,
+        DiffusionPriorConfig,
+        PriorNetworkConfig,
+    )
+    from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
+    from scripts.train_decoder import build_decoder, build_trainer
+
+    rng = jax.random.PRNGKey(int(cfg.get("sample_seed", 0)))
+    k_text, k_init = jax.random.split(rng)
+
+    text_enc = CLIPTextEncoder(CLIPTextConfig(embed_dim=cfg["dim"]))
+    probe_tokens = jnp.asarray(tokenize(["warmup"]))
+    openai = cfg["clip"].get("openai_ckpt")
+    if openai:
+        from dalle2_video_tpu.models.clip_text import load_openai_clip_text_params
+
+        text_params = load_openai_clip_text_params(openai)
+    else:
+        log.warning("no OpenAI ckpt — random text tower (smoke mode)")
+        text_params = text_enc.init(k_text, probe_tokens)
+
+    pc = cfg["prior"]
+    prior = DiffusionPrior(
+        DiffusionPriorConfig(
+            network=PriorNetworkConfig(dim=cfg["dim"], depth=pc["depth"],
+                                       heads=pc["heads"], dim_head=pc["dim_head"]),
+            timesteps=pc["timesteps"],
+            sample_timesteps=pc["sample_timesteps"],
+        )
+    )
+    prior_params = prior.init_params(k_init)
+    prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"
+    if has_checkpoint(str(prior_ckpt)):
+        prior_params = load_best(str(prior_ckpt), prior_params)
+        log.info("loaded prior %s", prior_ckpt)
+
+    decoder = build_decoder(cfg)
+    trainer = build_trainer(cfg, decoder)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    dec_ckpt = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}"
+    if has_checkpoint(str(dec_ckpt)):
+        state = load_best(str(dec_ckpt), state)
+        log.info("loaded decoder %s", dec_ckpt)
+    dec_params = trainer.sampling_params(state)
+    wrapper = DALLE2Video(prior, decoder)
+    default_st = decoder.sample_timesteps
+
+    def generate_batch(prompts, seeds, *, cond_scale, ddim_steps):
+        # per-request DDIM override: sample_timesteps is host-side static
+        # config; the engine lock serializes groups so this is race-free
+        decoder.sample_timesteps = (
+            tuple(ddim_steps for _ in default_st)
+            if ddim_steps is not None else default_st
+        )
+        try:
+            tokens = jnp.asarray(tokenize(list(prompts)))
+            text_embed = text_enc.apply(text_params, tokens)
+            # one key per dispatched group, folded from the request seeds:
+            # rows draw independent noise, and a different seed set gives
+            # a different draw (repeat requests replay only if seeds match)
+            batch_key = jax.random.fold_in(
+                jax.random.PRNGKey(int(np.asarray(seeds)[0])),
+                int(np.sum(np.asarray(seeds, dtype=np.uint64)) % (2**31)),
+            )
+            video = wrapper.generate(
+                prior_params, dec_params, batch_key, text_embed,
+                cond_scale=cond_scale,
+            )
+            return np.asarray(video)
+        finally:
+            decoder.sample_timesteps = default_st
+
+    return generate_batch
+
+
+def main() -> None:
+    from dalle2_video_tpu.serve import GenerationEngine, serve_forever
+    from dalle2_video_tpu.utils import config_from_argv
+    from dalle2_video_tpu.utils.config import setup_platform
+
+    cfg = config_from_argv("configs/celebv_text.yaml")
+    logging.basicConfig(level=cfg.get("log_level", "INFO"))
+    setup_platform(cfg)
+    log = logging.getLogger("serve")
+
+    if bool(cfg.get("smoke", False)):
+        # tiny stack for an end-to-end serving smoke (same shapes as
+        # train_decoder.py smoke mode), random weights, few DDIM steps
+        cfg["frame_sizes"] = [16, 32]
+        cfg["frame_numbers"] = [2, 2]
+        cfg["unet1"] = {"dim": 16, "dim_mults": [1, 2], "num_resnet_blocks": 1,
+                        "attn_heads": 2, "attn_dim_head": 8}
+        cfg["unet2"] = {"dim": 8, "dim_mults": [1, 2], "num_resnet_blocks": 1,
+                        "attn_heads": 2, "attn_dim_head": 8}
+        cfg["prior"] = dict(cfg["prior"], depth=1, heads=2,
+                            sample_timesteps=2)
+        cfg.setdefault("serve_ddim_steps", 4)
+        cfg.setdefault("serve_buckets", (1, 2))
+
+    generate_batch = build_generate_batch(cfg, log)
+    engine = GenerationEngine(
+        generate_batch,
+        buckets=tuple(cfg.get("serve_buckets", (1, 2, 4))),
+        max_wait_ms=float(cfg.get("serve_max_wait_ms", 25.0)),
+        default_cond_scale=float(cfg.get("cond_scale", 1.0)),
+        default_ddim_steps=(
+            int(cfg["serve_ddim_steps"]) if cfg.get("serve_ddim_steps") else None
+        ),
+    )
+    if cfg.get("warmup", True):
+        log.info("warmup: compiling %s buckets ...", cfg.get("serve_buckets", (1, 2, 4)))
+        log.info("warmup timings: %s", engine.warmup())
+
+    device = jax.devices()[0].device_kind
+    host, port = cfg.get("serve_host", "127.0.0.1"), int(cfg.get("serve_port", 8000))
+    log.info("serving on http://%s:%d (device %s)", host, port, device)
+    serve_forever(engine, host, port, device_name=device)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Serving subsystem: micro-batcher coalescing, engine bucketing, HTTP API.
+
+The batcher/engine are JAX-free by design, so these tests use callables
+that record dispatch shapes; the HTTP test drives a real ThreadingHTTPServer
+end to end with a tiny jitted "sampler" to prove the full request path
+(tokenize-free double — the real stack is wired in scripts/serve.py).
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import threading
+import time
+from concurrent.futures import wait
+
+import numpy as np
+import pytest
+
+from dalle2_video_tpu.serve.batcher import MicroBatcher
+from dalle2_video_tpu.serve.engine import GenerationEngine, GenRequest
+
+
+# ------------------------------------------------------------------ #
+# MicroBatcher
+# ------------------------------------------------------------------ #
+def test_batcher_coalesces_concurrent_requests():
+    calls = []
+    release = threading.Event()
+
+    def run_batch(key, items):
+        # first batch blocks until all stragglers are queued, so the
+        # second dispatch must contain every remaining request
+        if not calls:
+            release.wait(timeout=5.0)
+        calls.append(list(items))
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(run_batch, max_batch=8, max_wait_ms=50.0)
+    futs = [mb.submit(i) for i in range(6)]
+    release.set()
+    done, _ = wait(futs, timeout=5.0)
+    assert len(done) == 6
+    assert sorted(f.result() for f in futs) == [0, 10, 20, 30, 40, 50]
+    stats = mb.stats.snapshot()
+    assert stats["requests"] == 6
+    # strictly fewer dispatches than requests = coalescing happened
+    assert stats["batches"] < 6
+    assert stats["max_batch_size"] >= 2
+    mb.close()
+
+
+def test_batcher_groups_by_key():
+    calls = []
+
+    def run_batch(key, items):
+        calls.append((key, list(items)))
+        return items
+
+    mb = MicroBatcher(
+        run_batch, max_batch=8, max_wait_ms=30.0, key_fn=lambda it: it % 2
+    )
+    futs = [mb.submit(i) for i in range(6)]
+    wait(futs, timeout=5.0)
+    # every dispatched group is key-homogeneous
+    for key, items in calls:
+        assert {it % 2 for it in items} == {key}
+    assert sorted(f.result() for f in futs) == list(range(6))
+    mb.close()
+
+
+def test_batcher_error_fails_batch_but_keeps_serving():
+    def run_batch(key, items):
+        if any(x < 0 for x in items):
+            raise ValueError("negative")
+        return items
+
+    mb = MicroBatcher(run_batch, max_batch=1, max_wait_ms=1.0)
+    bad = mb.submit(-1)
+    with pytest.raises(ValueError):
+        bad.result(timeout=5.0)
+    ok = mb.submit(7)
+    assert ok.result(timeout=5.0) == 7
+    assert mb.stats.snapshot()["errors"] == 1
+    mb.close()
+
+
+def test_batcher_respects_max_batch():
+    seen = []
+
+    def run_batch(key, items):
+        seen.append(len(items))
+        time.sleep(0.01)
+        return items
+
+    mb = MicroBatcher(run_batch, max_batch=2, max_wait_ms=50.0)
+    futs = [mb.submit(i) for i in range(7)]
+    wait(futs, timeout=10.0)
+    assert max(seen) <= 2
+    mb.close()
+
+
+# ------------------------------------------------------------------ #
+# GenerationEngine
+# ------------------------------------------------------------------ #
+def _fake_generate(prompts, seeds, *, cond_scale, ddim_steps):
+    b = len(prompts)
+    # encode dispatch facts into the tensor so tests can assert on them
+    video = np.full((b, 2, 4, 4, 3), float(cond_scale), np.float32)
+    video[:, 0, 0, 0, 0] = np.asarray(seeds, np.float32)
+    return video
+
+
+def test_engine_pads_to_bucket_and_slices():
+    dispatched = []
+
+    def gen(prompts, seeds, **kw):
+        dispatched.append(len(prompts))
+        return _fake_generate(prompts, seeds, **kw)
+
+    eng = GenerationEngine(gen, buckets=(1, 4), max_wait_ms=40.0)
+    reqs = [GenRequest(f"p{i}", seed=i, cond_scale=2.0) for i in range(3)]
+    futs = [eng.submit(r) for r in reqs]
+    results = [f.result(timeout=5.0) for f in futs]
+    # 3 requests ride one padded bucket-4 batch (or several bucket dispatches)
+    assert all(d in (1, 4) for d in dispatched)
+    for i, res in enumerate(results):
+        assert res["video"].shape == (2, 4, 4, 3)  # per-request slice
+        assert res["video"][1, 0, 0, 0] == 2.0     # cond_scale plumbed
+    seeds_seen = sorted(r["video"][0, 0, 0, 0] for r in results)
+    assert seeds_seen == [0.0, 1.0, 2.0]           # right row per request
+    eng.close()
+
+
+def test_engine_separates_trace_keys():
+    keys_seen = []
+
+    def gen(prompts, seeds, *, cond_scale, ddim_steps):
+        keys_seen.append((cond_scale, ddim_steps))
+        return _fake_generate(prompts, seeds, cond_scale=cond_scale,
+                              ddim_steps=ddim_steps)
+
+    eng = GenerationEngine(gen, buckets=(1, 2), max_wait_ms=30.0)
+    f1 = eng.submit(GenRequest("a", cond_scale=1.0))
+    f2 = eng.submit(GenRequest("b", cond_scale=3.0, ddim_steps=8))
+    r1, r2 = f1.result(timeout=5.0), f2.result(timeout=5.0)
+    assert r1["video"][1, 0, 0, 0] == 1.0
+    assert r2["video"][1, 0, 0, 0] == 3.0
+    # never batched across different trace keys
+    assert all(k in [(1.0, None), (3.0, 8)] for k in keys_seen)
+    eng.close()
+
+
+def test_engine_warmup_compiles_each_bucket():
+    shapes = []
+
+    def gen(prompts, seeds, **kw):
+        shapes.append(len(prompts))
+        return _fake_generate(prompts, seeds, **kw)
+
+    eng = GenerationEngine(gen, buckets=(1, 2, 4), default_cond_scale=2.5)
+    timings = eng.warmup()
+    assert sorted(timings) == [1, 2, 4]
+    assert sorted(shapes) == [1, 2, 4]  # exactly the bucket shapes
+    eng.close()
+
+
+# ------------------------------------------------------------------ #
+# HTTP server end to end
+# ------------------------------------------------------------------ #
+def test_http_server_end_to_end():
+    import jax
+    import jax.numpy as jnp
+
+    from dalle2_video_tpu.serve.server import make_server
+
+    @jax.jit
+    def tiny_sampler(seeds):
+        # stand-in jitted "cascade": deterministic in the seeds
+        base = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+        return seeds[:, None, None, None, None].astype(jnp.float32) + base
+
+    def gen(prompts, seeds, *, cond_scale, ddim_steps):
+        return np.asarray(tiny_sampler(jnp.asarray(seeds)))
+
+    eng = GenerationEngine(gen, buckets=(1, 2), max_wait_ms=20.0)
+    httpd = make_server(eng, "127.0.0.1", 0, device_name="cpu-test")
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health == {"status": "ok", "device": "cpu-test"}
+
+        body = json.dumps({"prompt": "a person smiling", "seed": 5})
+        conn.request("POST", "/v1/generate", body,
+                     {"Content-Type": "application/json"})
+        res = json.loads(conn.getresponse().read())
+        assert res["shape"] == [2, 4, 4, 3]
+        import base64
+        import io
+
+        arr = np.load(io.BytesIO(base64.b64decode(res["data_b64"])))
+        assert arr.shape == (2, 4, 4, 3)
+        assert arr[0, 0, 0, 0] == 5.0  # seed plumbed through the sampler
+
+        conn.request("GET", "/v1/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests"] >= 1
+
+        # malformed request -> 400, not a crash
+        conn.request("POST", "/v1/generate", "{}",
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        eng.close()
