@@ -11,7 +11,8 @@ thread on the engine Future while the micro-batcher coalesces):
   GET  /v1/stats      -> batching counters (requests, batches, mean size)
 
 ``format: "meta"`` skips the payload (health probes / load tests);
-``npy_b64`` returns the full video tensor as a base64-encoded .npy.
+``npy_b64`` returns the full video tensor as a base64-encoded .npy;
+``gif_b64`` returns a base64 GIF of the clip (optional ``fps``, demo use).
 """
 
 from __future__ import annotations
@@ -31,6 +32,16 @@ from dalle2_video_tpu.serve.engine import GenerationEngine, GenRequest
 def _npy_b64(arr: np.ndarray) -> str:
     buf = io.BytesIO()
     np.save(buf, arr)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _gif_b64(video: np.ndarray, fps: int = 8) -> str:
+    """(T, H, W, C) float video in [0, 1] -> base64 GIF (demo payload)."""
+    import imageio.v2 as imageio
+
+    frames = (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    imageio.mimwrite(buf, list(frames), format="gif", duration=1.0 / fps)
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
@@ -94,8 +105,14 @@ def make_server(
                 "bucket": res["bucket"],
                 "device_ms": res["device_ms"],
             }
-            if payload.get("format", "npy_b64") == "npy_b64":
+            fmt = payload.get("format", "npy_b64")
+            if fmt == "npy_b64":
                 out["data_b64"] = _npy_b64(video)
+            elif fmt == "gif_b64":
+                out["gif_b64"] = _gif_b64(
+                    np.asarray(video, np.float32),
+                    fps=int(payload.get("fps", 8)),
+                )
             self._json(200, out)
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -210,6 +210,20 @@ def test_http_server_end_to_end():
         stats = json.loads(conn.getresponse().read())
         assert stats["requests"] >= 1
 
+        # gif payload: decodes to a T-frame GIF (demo format). seed=0:
+        # nonzero seeds saturate the toy sampler's clip to identical
+        # all-white frames, which GIF encoders collapse into one
+        body = json.dumps({"prompt": "p", "seed": 0, "format": "gif_b64"})
+        conn.request("POST", "/v1/generate", body,
+                     {"Content-Type": "application/json"})
+        res = json.loads(conn.getresponse().read())
+        import imageio.v2 as imageio
+
+        gif = imageio.mimread(
+            io.BytesIO(base64.b64decode(res["gif_b64"])), format="gif"
+        )
+        assert len(gif) == 2 and gif[0].shape[:2] == (4, 4)
+
         # malformed request -> 400, not a crash
         conn.request("POST", "/v1/generate", "{}",
                      {"Content-Type": "application/json"})
