@@ -62,6 +62,16 @@ from dalle2_video_tpu.ops.video import (
 )
 
 
+def ddim_time_pairs(total: int, timesteps: int):
+    """The static DDIM (t_now, t_next) grid (reference :1780-1785),
+    descending, ending at t_next = -1 (alpha_bar = 1). Shared by the
+    sampling loop and the progressive-distillation trainer so the student
+    trains on exactly the grid it will sample with."""
+    times = np.linspace(-1, total - 1, timesteps + 1).astype(int)
+    times = list(reversed(times.tolist()))
+    return [(a, b) for a, b in zip(times[:-1], times[1:]) if a > b]
+
+
 def _cast_tuple(v, length: int, validate: bool = True):
     if isinstance(v, (tuple, list)):
         out = tuple(v)
@@ -721,9 +731,7 @@ class VideoDecoder:
         # static time pair schedule (reference :1780-1785), terminating at
         # t_next = -1 <=> alpha_bar = 1 so the final step returns x0 exactly
         # (proper DDIM; mirrors models/prior.py sample_loop)
-        times = np.linspace(-1, total - 1, timesteps + 1).astype(int)
-        times = list(reversed(times.tolist()))
-        pairs = [(a, bb) for a, bb in zip(times[:-1], times[1:]) if a > bb]
+        pairs = ddim_time_pairs(total, timesteps)
         t_nows = jnp.array([p[0] for p in pairs], jnp.int32)
         t_nexts = jnp.array([p[1] for p in pairs], jnp.int32)
 

@@ -103,6 +103,23 @@ def bench_sampling():
     print(f"ddim64: {dt_d:.2f}s ({B*T/dt_d:.1f} frames/s)", file=sys.stderr)
     emit("sampling_ddim64_frames_per_sec", B * T / dt_d, "frames/s/chip")
 
+    # distilled-student configuration: 8-step DDIM, cond_scale=1 (no 2x
+    # CFG batch) — the program a progressively distilled student runs
+    # (train/distill.py; quality evidence: runs/distill FVD ladder)
+    dec_s8 = make(sample_timesteps=8)
+    run_s = jax.jit(lambda p, r: dec_s8.sample_stage(
+        0, p, r, batch_size=B, video_embed=emb, cond_scale=1.0))
+    t0 = time.time()
+    compiled_s = run_s.lower(params, jax.random.PRNGKey(2)).compile()
+    _sync(compiled_s(params, jax.random.PRNGKey(2)))
+    print(f"student8 compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
+    t0 = time.time()
+    _sync(compiled_s(params, jax.random.PRNGKey(3)))
+    dt_s = time.time() - t0
+    print(f"distilled-8 (no CFG): {dt_s:.2f}s ({B*T/dt_s:.1f} frames/s)",
+          file=sys.stderr)
+    emit("sampling_distilled8_frames_per_sec", B * T / dt_s, "frames/s/chip")
+
 
 def bench_clip():
     """BASELINE: video-CLIP contrastive step, pairs/s (batch 4, 16x64x64)."""
