@@ -180,3 +180,40 @@ def test_degenerate_grid_rejected():
     dec, _ = tiny_decoder()
     with pytest.raises(ValueError, match="degenerate|collapse"):
         DistillTrainer(dec, DistillConfig(student_steps=20))
+
+
+def test_distill_step_sharded_matches_single(setup, mesh8):
+    """DP distillation on the virtual 8-device mesh (batch over `data`,
+    state/teacher replicated): same loss and same student update as the
+    single-device step — GSPMD inserts the cross-shard mean, nothing in
+    the trainer is mesh-aware."""
+    from dalle2_video_tpu.parallel.mesh import shard_batch
+    from dalle2_video_tpu.parallel.sharded import replicated_tree
+
+    dec, params, tr = setup
+    b = 4  # data axis of the 4x2 mesh
+    video = jax.random.uniform(jax.random.PRNGKey(1), (b, T, 8, 8, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (b, EMB))
+
+    state = tr.init_state(params, student_params=dec.init_params(
+        jax.random.PRNGKey(7))["unet_0"])
+    key = jax.random.PRNGKey(3)
+
+    st_ref, loss_ref = jax.jit(tr.distill_step)(
+        state, params, key, video, video_embed=emb
+    )
+
+    # replicated_tree returns a SHARDING tree — device_put places the data
+    st_sh = jax.device_put(state, replicated_tree(state, mesh8))
+    teacher_sh = jax.device_put(params, replicated_tree(params, mesh8))
+    vid_s, emb_s = shard_batch(mesh8, (video, emb))
+    st2, loss = jax.jit(tr.distill_step)(
+        st_sh, teacher_sh, key, vid_s, video_embed=emb_s
+    )
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-4)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(st2.student),
+        jax.tree_util.tree_leaves(st_ref.student),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
