@@ -10,6 +10,8 @@ version stamp with mismatch warning).
 from __future__ import annotations
 
 import logging
+import signal
+import threading
 from pathlib import Path
 from typing import Any, Optional
 
@@ -84,6 +86,10 @@ class RollingCheckpointManager:
         self._metric_key = metric_key
         (self._dir / _VERSION_KEY).write_text(__version__)
 
+    @property
+    def directory(self) -> Path:
+        return self._dir
+
     def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         if self._best_mgr is not None and metrics and self._metric_key in metrics:
@@ -138,6 +144,65 @@ class RollingCheckpointManager:
         self._mgr.close()
         if self._best_mgr is not None:
             self._best_mgr.close()
+
+
+class PreemptionGuard:
+    """Graceful-preemption handling for training loops (ROADMAP infra:
+    preemption resilience; SURVEY §5 — the reference has NO failure
+    handling, a signal kills the nohup'd run and loses everything since
+    the last per-epoch torch.save).
+
+    Signals (SIGTERM by default — what cluster schedulers send before
+    evicting a worker) only set a flag: saving inside a signal handler
+    while an XLA dispatch is in flight is unsafe, so the *training loop*
+    polls ``preempted`` at step boundaries and calls ``emergency_save``,
+    which writes a SYNCHRONOUS checkpoint (durable before the process
+    exits) plus a ``PREEMPTED`` marker sidecar. On restart, the normal
+    ``resume=true`` path restores it — a preempted run loses at most the
+    in-flight step instead of the whole epoch.
+
+    Exit code convention: loops exit with 128+SIGTERM (143) after the
+    emergency save so supervisors (scripts/run_elastic.py) restart with
+    resume appended.
+    """
+
+    EXIT_CODE = 128 + signal.SIGTERM
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self._flag = threading.Event()
+        self._received: Optional[int] = None
+        self._prev = {}
+        for s in signals:
+            self._prev[s] = signal.signal(s, self._handle)
+
+    def _handle(self, signum, frame):  # noqa: ARG002 — signal API
+        self._received = signum
+        self._flag.set()
+
+    @property
+    def preempted(self) -> bool:
+        return self._flag.is_set()
+
+    def emergency_save(
+        self,
+        mgr: "RollingCheckpointManager",
+        step: int,
+        state: Any,
+        metrics: Optional[dict] = None,
+    ) -> None:
+        """Synchronous save + durable-before-return barrier + marker."""
+        if mgr.latest_step() != step:
+            mgr.save(step, state, metrics=metrics)
+        mgr.wait()
+        (mgr.directory / "PREEMPTED").write_text(str(step))
+        logger.warning(
+            "preemption (signal %s): emergency checkpoint at step %d",
+            self._received, step,
+        )
+
+    def restore_handlers(self) -> None:
+        for s, prev in self._prev.items():
+            signal.signal(s, prev)
 
 
 def load_checkpoint(path: str, target: Any) -> Any:

@@ -189,6 +189,7 @@ def main() -> None:
     # SURVEY.md §5 failure-detection entry)
     ckpt_dir = Path(cfg["run_dir"]) / f"decoder_{cfg['train_name']}"
     from dalle2_video_tpu.train.checkpoint import (
+        PreemptionGuard,
         RollingCheckpointManager,
         has_checkpoint,
         load_latest,
@@ -236,6 +237,9 @@ def main() -> None:
     mlog = MetricsLogger(cfg["run_dir"], f"decoder_{cfg['train_name']}",
                          cfg["use_wandb"], cfg)
     key = rng
+    # SIGTERM -> flag; polled at batch boundaries below. An evicted run
+    # emergency-saves and exits 143 so run_elastic.py resumes it.
+    guard = PreemptionGuard()
 
     for epoch in range(epochs):
         # epoch-MEAN train losses (reference logs epoch means,
@@ -245,6 +249,8 @@ def main() -> None:
             # accumulate K batches, dispatch one fused K-step program
             pending = []
             for batch in train_loader:
+                if guard.preempted:
+                    break
                 pending.append(batch)
                 if len(pending) < steps_per_scan:
                     continue
@@ -270,6 +276,8 @@ def main() -> None:
                     train_sums[u].append(loss)
         else:
             for batch in train_loader:
+                if guard.preempted:
+                    break
                 vid, emb = shard_batch(
                     mesh,
                     (jnp.asarray(batch["videos"]), jnp.asarray(batch["video_embeds"])),
@@ -283,6 +291,11 @@ def main() -> None:
                     key, k = jax.random.split(key)
                     state, loss = steps[u](state, k, vid, emb)
                     train_sums[u].append(loss)
+        if guard.preempted:
+            guard.emergency_save(ckpt_mgr, int(state.steps[0]), state)
+            mlog.close()
+            ckpt_mgr.close()
+            raise SystemExit(PreemptionGuard.EXIT_CODE)
         if train_sums[1]:
             means = jax.device_get(
                 [jnp.mean(jnp.concatenate(
