@@ -79,6 +79,37 @@ def build_generate_batch(cfg, log):
         state = load_best(str(dec_ckpt), state)
         log.info("loaded decoder %s", dec_ckpt)
     dec_params = trainer.sampling_params(state)
+
+    # optional distilled-student deployment (train/distill.py): swap the
+    # progressive-distillation student into its cascade slot and pin that
+    # stage's DDIM grid to the student's step count. Students fold CFG in
+    # (teacher_cond_scale at distill time), so serve with cond_scale=1 —
+    # the sampler then runs a single (no 2x CFG) batch per denoise step.
+    #   serve_distill: {ckpt: runs/distill/student_4/state, steps: 4, unet: 1}
+    dist = cfg.get("serve_distill")
+    if dist:
+        from dalle2_video_tpu.train.distill import (
+            DistillConfig,
+            DistillTrainer,
+        )
+        from dalle2_video_tpu.train.checkpoint import load_checkpoint
+
+        steps = int(dist["steps"])
+        unet_no = int(dist.get("unet", 1))
+        tr = DistillTrainer(
+            decoder,
+            DistillConfig(student_steps=steps, unet_number=unet_no),
+        )
+        dstate = tr.init_state(dec_params)
+        dstate = load_checkpoint(str(dist["ckpt"]), dstate)
+        dec_params = tr.student_decoder_params(dstate, dec_params, use_ema=True)
+        decoder.sample_timesteps = tuple(
+            steps if i == unet_no - 1 else s
+            for i, s in enumerate(decoder.sample_timesteps)
+        )
+        log.info("distilled student in slot %d: %s (DDIM-%d, CFG folded in)",
+                 unet_no, dist["ckpt"], steps)
+
     wrapper = DALLE2Video(prior, decoder)
     default_st = decoder.sample_timesteps
 

@@ -217,3 +217,54 @@ def test_distill_step_sharded_matches_single(setup, mesh8):
         jax.tree_util.tree_leaves(st_ref.student),
     ):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+def test_student_checkpoint_roundtrip_serve_deploy(tmp_path):
+    """The serve-time deployment contract (scripts/serve.py serve_distill):
+    a saved DistillState restores into a FRESH trainer's template, the
+    student swaps into exactly its cascade slot, and only that stage's
+    DDIM grid is pinned."""
+    from dalle2_video_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    unet = UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=EMB,
+        init_cross_embed=False, init_conv_ksize=3,
+    )
+    cfg = VideoDecoderConfig(
+        unets=(unet, unet), frame_sizes=(8, 16), frame_numbers=(T, T),
+        timesteps=20, sample_timesteps=(10, 10),
+    )
+    dec = VideoDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(0))
+
+    # "distill-time": perturb the student so the swap is observable
+    tr = DistillTrainer(dec, DistillConfig(student_steps=4, unet_number=1))
+    dstate = tr.init_state(params)
+    dstate.ema = jax.tree_util.tree_map(lambda x: x + 1.0, dstate.ema)
+    save_checkpoint(str(tmp_path / "state"), dstate)
+
+    # "serve-time": fresh process -> fresh template -> restore -> swap
+    tr2 = DistillTrainer(dec, DistillConfig(student_steps=4, unet_number=1))
+    fresh = tr2.init_state(params)
+    fresh = load_checkpoint(str(tmp_path / "state"), fresh)
+    served = tr2.student_decoder_params(fresh, params, use_ema=True)
+
+    diff0 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        served["unet_0"], params["unet_0"])
+    assert min(jax.tree_util.tree_leaves(diff0)) == 1.0  # swapped (+1 everywhere)
+    same1 = jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.all(a == b)), served["unet_1"], params["unet_1"])
+    assert all(jax.tree_util.tree_leaves(same1))  # SR stage untouched
+
+    # slot pinning as serve.py applies it
+    steps, unet_no = 4, 1
+    pinned = tuple(
+        steps if i == unet_no - 1 else s
+        for i, s in enumerate(dec.sample_timesteps)
+    )
+    assert pinned == (4, 10)
