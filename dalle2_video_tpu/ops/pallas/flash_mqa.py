@@ -54,9 +54,10 @@ def _flash_mqa_kernel(
     # scratch updates, AND the kvmask multiply of the r2 kernel (padding
     # columns contribute zero to both halves through v_ext; the VPU work
     # per sim element drops to sub+exp+max — docs/PERF.md r3 fwd diet).
-    # Padded columns still participate in the running max via s = 0
-    # (shift-invariant, exact); p of real columns underflows only if
-    # every real logit < -87 — not reachable with a learned null kv.
+    # Padded kv columns carry REAL logits (k is edge-padded with copies of
+    # the last real row), so they never dominate the running max and the
+    # real columns' p is exact in every regime; their output/denominator
+    # contribution is exactly zero through v_ext's zeroed rows.
     refs = list(refs)
     o_ref = refs.pop(0)
     lse_ref = refs.pop(0) if save_lse else None
@@ -210,9 +211,9 @@ _flash_mqa_diff.defvjp(_flash_mqa_vjp_fwd, _flash_mqa_vjp_bwd)
 #     dQ += dS K (* scale);  dK += dS^T Q_scaled;  dV += P^T dO
 # Padding discipline:
 #   * padded KV columns carry a WRONG unmasked p = exp(0 - lse) which can
-#     overflow when every real logit is very negative — the kvmask row
-#     multiply (as in the fwd) zeroes them when kv padding exists; their
-#     dk/dv rows are garbage but sliced off
+#     overflow when every real logit is very negative — the kvmask is
+#     applied INSIDE the exponent (s -> NEG_INF) when kv padding exists,
+#     so p is exactly 0 there; their dk/dv rows are garbage but sliced off
 #   * padded Q rows of g are zeros -> dP = 0 and D = 0 there, so dS = 0 and
 #     they contribute nothing to dk/dv; their dq rows are sliced off; their
 #     padded lse of 0 keeps p finite (s = 0 rows)
@@ -234,9 +235,12 @@ def _mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, *refs,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = jnp.exp(s - lse_ref[0])  # (block_q, block_k); lse column broadcast
     if masked:
-        p = p * kvmask_ref[0]
+        # mask INSIDE the exponent: padded columns carry s=0 but a real-row
+        # lse can be arbitrarily negative, and exp(0 - lse) overflows to inf
+        # once lse < ~-87 (then inf * 0 = NaN under a post-exp multiply)
+        s = jnp.where(kvmask_ref[0] != 0, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0])  # (block_q, block_k); lse column broadcast
     dp = jax.lax.dot_general(
         g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -272,9 +276,9 @@ def _mqa_bwd_dkv_kernel(q_ref, g_ref, lse_ref, delta_ref, k_ref, v_ref, *refs,
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = jnp.exp(s - lse_ref[0])
     if masked:
-        p = p * kvmask_ref[0]  # keep padded-column p finite (overflow guard)
+        s = jnp.where(kvmask_ref[0] != 0, s, NEG_INF)  # see dq kernel note
+    p = jnp.exp(s - lse_ref[0])
     dp = jax.lax.dot_general(
         g, v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -440,7 +444,12 @@ def _flash_mqa_fwd_only(
     if n_q_pad != n_q:
         q = jnp.pad(q, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
     if n_kv_pad != n_kv:
-        k = jnp.pad(k, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+        # k is EDGE-padded (copies of the last real row): padded columns
+        # then carry real logits, so they can never dominate the running
+        # max — real p stays exact even when every real logit < -87. Their
+        # contribution to output and denominator is still exactly zero
+        # through v_ext's zeroed rows (v itself is zero-padded).
+        k = jnp.pad(k, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)), mode="edge")
         v = jnp.pad(v, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
 
     # fused-denominator extension: d extra v columns of (1 if real row

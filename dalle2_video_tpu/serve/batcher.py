@@ -27,25 +27,35 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Hashable, List, Optional, Sequence
 
 
 @dataclass
 class BatcherStats:
+    """Running counters only — O(1) memory for the life of the server."""
+
     requests: int = 0
     batches: int = 0
     errors: int = 0
-    batch_sizes: List[int] = field(default_factory=list)
+    batch_size_sum: int = 0
+    batch_size_max: int = 0
+
+    def record_batch(self, n: int) -> None:
+        self.batches += 1
+        self.requests += n
+        self.batch_size_sum += n
+        self.batch_size_max = max(self.batch_size_max, n)
 
     def snapshot(self) -> dict:
-        sizes = self.batch_sizes
         return {
             "requests": self.requests,
             "batches": self.batches,
             "errors": self.errors,
-            "mean_batch_size": (sum(sizes) / len(sizes)) if sizes else 0.0,
-            "max_batch_size": max(sizes) if sizes else 0,
+            "mean_batch_size": (
+                self.batch_size_sum / self.batches if self.batches else 0.0
+            ),
+            "max_batch_size": self.batch_size_max,
         }
 
 
@@ -100,10 +110,13 @@ class MicroBatcher:
         deadline = time.monotonic() + self._max_wait_s
         while len(batch) < self._max_batch:
             timeout = deadline - time.monotonic()
-            if timeout <= 0 and self._q.empty():
+            if timeout <= 0:
+                # break unconditionally at the deadline: waiting on "queue
+                # momentarily non-empty" livelocks under a sustained stream
+                # of other-key requests (the in-hand batch never dispatches)
                 break
             try:
-                entry = self._q.get(timeout=max(timeout, 0.0) or None)
+                entry = self._q.get(timeout=timeout)
             except queue.Empty:
                 break
             if entry is None:  # close sentinel
@@ -132,9 +145,7 @@ class MicroBatcher:
             key = batch[0][0]
             items = [item for _, item, _ in batch]
             futures = [fut for _, _, fut in batch]
-            self.stats.requests += len(items)
-            self.stats.batches += 1
-            self.stats.batch_sizes.append(len(items))
+            self.stats.record_batch(len(items))
             try:
                 results = self._run_batch(key, items)
                 if len(results) != len(items):

@@ -72,6 +72,14 @@ class GenerationEngine:
         )
 
     # ------------------------------------------------------------- #
+    @property
+    def default_cond_scale(self) -> float:
+        return self._default_key[0]
+
+    @property
+    def default_ddim_steps(self) -> Optional[int]:
+        return self._default_key[1]
+
     def submit(self, req: GenRequest) -> Future:
         """Returns a Future resolving to a dict: video (np.ndarray for
         THIS request), batch_size it rode in, device_ms of the call."""

@@ -5,6 +5,9 @@ thread on the engine Future while the micro-batcher coalesces):
 
   POST /v1/generate   {"prompt": str, "seed": int?, "cond_scale": float?,
                        "ddim_steps": int?, "format": "npy_b64"|"meta"}
+      omitted cond_scale/ddim_steps fall back to the engine's configured
+      defaults (the trace key warmup() pre-compiled); ddim_steps=0
+      explicitly requests the full DDPM schedule
       -> {"shape": [...], "dtype": str, "batch_size": n, "bucket": b,
           "device_ms": ms, "data_b64": <base64 .npy>?}
   GET  /healthz       -> {"status": "ok", "device": "..."}
@@ -79,17 +82,27 @@ def make_server(
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("payload must be a JSON object")
+                # omitted fields fall back to the ENGINE's configured
+                # defaults — the trace key warmup() pre-compiled; a client
+                # passing ddim_steps=0 explicitly requests the full DDPM
+                # schedule (None)
+                if "ddim_steps" in payload:
+                    ds = payload["ddim_steps"]
+                    ddim_steps = int(ds) if ds else None
+                else:
+                    ddim_steps = engine.default_ddim_steps
                 req = GenRequest(
                     prompt=str(payload["prompt"]),
-                    seed=int(payload.get("seed", 0)),
-                    cond_scale=float(payload.get("cond_scale", 1.0)),
-                    ddim_steps=(
-                        int(payload["ddim_steps"])
-                        if payload.get("ddim_steps") is not None
-                        else None
+                    seed=int(payload.get("seed") or 0),
+                    cond_scale=float(
+                        payload.get("cond_scale", engine.default_cond_scale)
                     ),
+                    ddim_steps=ddim_steps,
                 )
-            except (KeyError, ValueError, json.JSONDecodeError) as exc:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as exc:
                 self._json(400, {"error": f"bad request: {exc}"})
                 return
             try:

@@ -255,8 +255,10 @@ class DistillTrainer:
         video_embed=None,
         text_encodings=None,
     ):
-        """One distillation update; jit with teacher_params as a donated/
-        captured argument. Returns (new_state, loss)."""
+        """One distillation update; jit with teacher_params captured
+        (closed over) or passed as a plain argument — do NOT use
+        donate_argnums on this backend (CLAUDE.md: buffer donation crashes
+        the axon runtime). Returns (new_state, loss)."""
         loss, grads = jax.value_and_grad(self.loss)(
             state.student, teacher_params, rng, video,
             video_embed=video_embed, text_encodings=text_encodings,

@@ -114,6 +114,11 @@ def main() -> None:
     print("student stack loaded (student_%d over r2_curve/last)"
           % STUDENT_STEPS, flush=True)
 
+    # one compiled sampler per (cond_scale) x batch shape — steady-state
+    # requests reuse compiled programs instead of retracing dec.sample and
+    # dispatching its glue op-by-op over the axon tunnel
+    compiled: dict = {}
+
     def generate_batch(prompts, seeds, *, cond_scale, ddim_steps):
         # ddim_steps is part of the engine trace key; this deployment pins
         # the student grid, so only the default (None -> student) is served
@@ -121,15 +126,17 @@ def main() -> None:
             parse_prompt(p, int(s), emb_dim)
             for p, s in zip(prompts, np.asarray(seeds))
         ])
-        batch_key = jax.random.fold_in(
-            jax.random.PRNGKey(int(np.asarray(seeds)[0])),
-            int(np.sum(np.asarray(seeds, dtype=np.uint64)) % (2**31)),
-        )
-        video = dec.sample(
-            params, batch_key, video_embed=jnp.asarray(embs),
-            cond_scale=cond_scale, stop_at_unet_number=1,
-        )
-        return np.asarray(video)
+        # key from the ORDERED seed vector: a given (batch composition,
+        # seed order) replays exactly
+        batch_key = jax.random.PRNGKey(0)
+        for s in np.asarray(seeds, dtype=np.uint32):
+            batch_key = jax.random.fold_in(batch_key, int(s))
+        fn = compiled.get(float(cond_scale))
+        if fn is None:
+            fn = jax.jit(lambda p_, k_, e_, _cs=float(cond_scale): dec.sample(
+                p_, k_, video_embed=e_, cond_scale=_cs, stop_at_unet_number=1))
+            compiled[float(cond_scale)] = fn
+        return np.asarray(fn(params, batch_key, jnp.asarray(embs)))
 
     engine = GenerationEngine(
         generate_batch, buckets=BUCKETS, max_wait_ms=10.0,

@@ -252,6 +252,39 @@ def test_flash_mqa_pallas_bwd_negative_logits_unaligned():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+def test_flash_mqa_pallas_bwd_lse_overflow_regime():
+    """lse < -87: a padded column's unmasked p = exp(0 - lse) overflows f32
+    (inf * 0 -> NaN under a post-exp mask multiply). The bwd kernels mask
+    INSIDE the exponent, so gradients must stay finite and match XLA even
+    when every real logit is below the f32 exp-overflow threshold."""
+    d = 16
+    q = jnp.full((1, 8, d), 16.0)
+    # s = q.k * scale ~= -128 per column -> lse ~= -124, exp(-lse) = inf
+    k = jnp.full((1, 37, d), -2.0) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (1, 37, d))
+    v = jax.random.normal(jax.random.PRNGKey(1), (1, 37, d))
+    scale = d**-0.5
+
+    def loss_flash(q_, k_, v_):
+        out = flash_mqa(q_, k_, v_, sm_scale=scale, block_q=32, block_k=32,
+                        interpret=True, bwd_impl="pallas")
+        return jnp.sum(out**2)
+
+    def loss_xla(q_, k_, v_):
+        sim = jnp.einsum("bnd,bmd->bnm", q_ * scale, k_)
+        return jnp.sum((jax.nn.softmax(sim, -1) @ v_) ** 2)
+
+    lse = jax.nn.logsumexp(
+        jnp.einsum("bnd,bmd->bnm", q * scale, k), axis=-1)
+    assert float(lse.max()) < -87.0  # the regime this test exists for
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        assert bool(jnp.isfinite(a).all())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
 @pytest.mark.parametrize("shape", [(2, 16, 16, 8), (3, 8, 32, 16)])
 def test_packed_conv_matches_xla(shape):
     """conv3x3_packed == lax conv on the unpacked layout (fwd)."""
