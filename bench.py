@@ -36,11 +36,42 @@ def peak_flops_for(device) -> float:
     return 197e12
 
 
+def wait_for_backend(max_wait_s: float = 2400, probe_timeout: float = 240) -> None:
+    """The axon TPU backend has outages (CLAUDE.md): jax.devices() either
+    hangs for tens of minutes or raises UNAVAILABLE, then recovers on its
+    own. Probe it in a SUBPROCESS (so a hang can be timed out) and wait up
+    to max_wait_s before touching the in-process backend; if it never comes
+    back, fall through and let the real init raise."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("backend probe never succeeded; proceeding anyway",
+                  file=sys.stderr)
+            return
+        print(f"backend probe {attempt} failed; retrying in 60s "
+              f"(axon outage — see CLAUDE.md)", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
     from dalle2_video_tpu.models import UNet3DConfig
     from dalle2_video_tpu.train import DecoderTrainer, DecoderTrainerConfig
 
+    wait_for_backend()
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.device_kind})", file=sys.stderr)
 
