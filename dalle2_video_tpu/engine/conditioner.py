@@ -52,14 +52,24 @@ def noise_video(
     cfg: LowresConditionerConfig,
     noise_levels: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Imagen-style aug-noising of the conditioning video (reference :1075-1089)."""
+    """Imagen-style aug-noising of the conditioning video (reference :1075-1089).
+
+    `rng` may be a single key or per-row keys (utils/keys.py) — with
+    per-row keys both the level draw and the noise are vmapped per sample."""
+    from dalle2_video_tpu.utils import keys as keyutil
+
     b = cond_video.shape[0]
-    k_t, k_n = jax.random.split(rng)
+    k_t, k_n = keyutil.split(rng)
     if cfg.auto_normalize:
         cond_video = cond_video * 2.0 - 1.0
     if noise_levels is None:
-        noise_levels = schedule.sample_random_times(k_t, b)
-    noise = jax.random.normal(k_n, cond_video.shape, cond_video.dtype)
+        if keyutil.is_batched(k_t):
+            noise_levels = jax.vmap(
+                lambda k: schedule.sample_random_times(k, 1)[0]
+            )(k_t)
+        else:
+            noise_levels = schedule.sample_random_times(k_t, b)
+    noise = keyutil.normal(k_n, cond_video.shape, cond_video.dtype)
     cond_video = schedule.q_sample(cond_video, noise_levels, noise)
     if cfg.auto_normalize:
         cond_video = (cond_video + 1.0) * 0.5

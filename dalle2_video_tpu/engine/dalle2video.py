@@ -41,8 +41,15 @@ class DALLE2Video:
         cond_scale: float = 1.0,
         prior_cond_scale: float = 1.0,
     ) -> jnp.ndarray:
-        """text_embed (b, d) — or (b, d, t) in temporal_emb mode — -> video."""
-        k_prior, k_dec = jax.random.split(rng)
+        """text_embed (b, d) — or (b, d, t) in temporal_emb mode — -> video.
+
+        `rng` may be a single key or per-row keys (utils/keys.py, not
+        supported in temporal_emb mode where the prior batch is b*t)."""
+        from dalle2_video_tpu.utils import keys as keyutil
+
+        if self.temporal_emb and keyutil.is_batched(rng):
+            raise ValueError("per-row keys are not supported with temporal_emb")
+        k_prior, k_dec = keyutil.split(rng)
 
         if self.temporal_emb:
             b, d, t = text_embed.shape

@@ -55,6 +55,7 @@ from dalle2_video_tpu.engine.conditioner import (
 )
 from dalle2_video_tpu.models.unet3d import UNet3D, UNet3DConfig
 from dalle2_video_tpu.models.vae import NullVAE
+from dalle2_video_tpu.utils import keys as keyutil
 from dalle2_video_tpu.ops.video import (
     paired_random_crop,
     resize_video,
@@ -675,8 +676,8 @@ class VideoDecoder:
         ucfg = self.unet_configs[i]
         b = shape[0]
 
-        k_init, k_loop = jax.random.split(rng)
-        x_T = jax.random.normal(k_init, shape)
+        k_init, k_loop = keyutil.split(rng)
+        x_T = keyutil.normal(k_init, shape)
 
         lowres = cond_kwargs.get("lowres_cond_video")
         if lowres is not None and not is_latent:
@@ -685,7 +686,7 @@ class VideoDecoder:
 
         def step(carry, time_scalar):
             x, x_start_prev, key = carry
-            key, k_noise = jax.random.split(key)
+            key, k_noise = keyutil.split(key)
             t = jnp.full((b,), time_scalar, jnp.int32)
             self_cond = x_start_prev if ucfg.self_cond else None
             mean, _, log_var, x_start = self._p_mean_variance(
@@ -698,7 +699,7 @@ class VideoDecoder:
                 self_cond=self_cond,
                 **cond_kwargs,
             )
-            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            noise = keyutil.normal(k_noise, x.shape, x.dtype)
             nonzero = (time_scalar > 0).astype(x.dtype)
             x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
             return (x_next, x_start, key), None
@@ -735,8 +736,8 @@ class VideoDecoder:
         t_nows = jnp.array([p[0] for p in pairs], jnp.int32)
         t_nexts = jnp.array([p[1] for p in pairs], jnp.int32)
 
-        k_init, k_loop = jax.random.split(rng)
-        x_T = jax.random.normal(k_init, shape)
+        k_init, k_loop = keyutil.split(rng)
+        x_T = keyutil.normal(k_init, shape)
 
         lowres = cond_kwargs.get("lowres_cond_video")
         if lowres is not None and not is_latent:
@@ -750,7 +751,7 @@ class VideoDecoder:
         def step(carry, tpair):
             x, x_start_prev, key = carry
             t_now, t_next = tpair
-            key, k_noise = jax.random.split(key)
+            key, k_noise = keyutil.split(key)
             t = jnp.full((b,), t_now, jnp.int32)
             self_cond = x_start_prev if ucfg.self_cond else None
             out = self._unet_apply(
@@ -772,7 +773,7 @@ class VideoDecoder:
             alpha_next = acp_pad[t_next + 1]
             c1 = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
             c2 = jnp.sqrt(jnp.maximum((1 - alpha_next) - c1**2, 0.0))
-            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            noise = keyutil.normal(k_noise, x.shape, x.dtype)
             not_last = (t_next >= 0).astype(x.dtype)
             x_next = (
                 x_start * jnp.sqrt(alpha_next) + c1 * noise * not_last + c2 * pred_noise
@@ -807,7 +808,7 @@ class VideoDecoder:
         frame_size = cfg.frame_sizes[i]
         frame_number = cfg.frame_numbers[i]
 
-        k_lowres, k_loop = jax.random.split(rng)
+        k_lowres, k_loop = keyutil.split(rng)
 
         cond_kwargs: Dict[str, Any] = {}
         if ucfg.cond_on_video_embeds:
@@ -873,6 +874,11 @@ class VideoDecoder:
     ) -> jnp.ndarray:
         """Full cascade sampling (host-side loop over jittable stages).
 
+        `rng` may be a single key (whole-batch noise stream, reference
+        semantics) or a batch of per-row keys (see utils/keys.py) — with
+        per-row keys, each sample's output is a pure function of its own
+        key, invariant to batch composition and chunking.
+
         max_batch_size chunks the batch to bound peak HBM (reference
         decoder_sample_in_chunks / sample_in_chunks wiring,
         trainer.py:278,308); each chunk reuses the same compiled stages."""
@@ -880,12 +886,22 @@ class VideoDecoder:
         assert cfg.unconditional or video_embed is not None
         if not cfg.unconditional:
             batch_size = video_embed.shape[0]
+        if keyutil.is_batched(rng):
+            assert keyutil.batch_size(rng) == batch_size, (
+                f"per-row keys ({keyutil.batch_size(rng)}) must match "
+                f"batch_size ({batch_size})"
+            )
 
         if max_batch_size is not None and batch_size > max_batch_size:
             from dalle2_video_tpu.utils.chunked import split_batch
 
             spans = list(split_batch(batch_size, max_batch_size))
-            keys = jax.random.split(rng, len(spans))
+            # single key: one fresh key per chunk; per-row keys: each row
+            # KEEPS its key (chunking then cannot change any row's output)
+            if keyutil.is_batched(rng):
+                chunk_keys = [keyutil.take(rng, s, sz) for s, sz in spans]
+            else:
+                chunk_keys = list(jax.random.split(rng, len(spans)))
             take = lambda a, s, n: None if a is None else a[s : s + n]
             outs = [
                 self.sample(
@@ -898,7 +914,7 @@ class VideoDecoder:
                     stop_at_unet_number=stop_at_unet_number,
                     video=take(video, s, sz),
                 )
-                for k, (s, sz) in zip(keys, spans)
+                for k, (s, sz) in zip(chunk_keys, spans)
             ]
             return jnp.concatenate(outs, axis=0)
         assert not (self.condition_on_text_encodings and text_encodings is None)
@@ -913,7 +929,7 @@ class VideoDecoder:
             prev_size = cfg.frame_sizes[start_at_unet_number - 2]
             vid = resize_video(video, prev_size, method="nearest")
 
-        keys = jax.random.split(rng, n)
+        keys = keyutil.split(rng, n)
         for i in range(n):
             if (i + 1) < start_at_unet_number:
                 continue

@@ -335,8 +335,10 @@ class DiffusionPrior:
         cfg = self.config
         sched = self.schedule
         b, d = text_embed.shape
-        k_init, _ = jax.random.split(rng)
-        x = jax.random.normal(k_init, (b, d))
+        from dalle2_video_tpu.utils import keys as keyutil
+
+        k_init, _ = keyutil.split(rng)
+        x = keyutil.normal(k_init, (b, d))
 
         steps = cfg.sample_timesteps or sched.num_timesteps
         import numpy as np
@@ -378,14 +380,29 @@ class DiffusionPrior:
     ) -> jnp.ndarray:
         """Best-of-N sampling with cosine-similarity reranking against the
         text embed (DiffusionPrior.sample semantics; reference usage
-        dalle2_video.py:2347-2351)."""
+        dalle2_video.py:2347-2351).
+
+        `rng` may be a single key or per-row keys (utils/keys.py): with
+        per-row keys, candidate j of row i draws from fold_in(key_i, j),
+        so each row's result depends only on its own key."""
+        from dalle2_video_tpu.utils import keys as keyutil
+
         n = num_samples_per_batch
         b, d = text_embed.shape
         rep = jnp.repeat(text_embed, n, axis=0)
         rep_enc = (
             jnp.repeat(text_encodings, n, axis=0) if text_encodings is not None else None
         )
-        embeds = self.sample_loop(params, rng, rep, rep_enc, cond_scale)
+        if keyutil.is_batched(rng):
+            rep_rng = jax.vmap(
+                lambda k: jnp.stack(
+                    [jax.random.fold_in(k, j) for j in range(n)]
+                )
+            )(rng)  # (b, n, …) candidate keys
+            rep_rng = rep_rng.reshape((b * n,) + rep_rng.shape[2:])
+        else:
+            rep_rng = rng
+        embeds = self.sample_loop(params, rep_rng, rep, rep_enc, cond_scale)
         embeds = embeds.reshape(b, n, d)
         text_n = l2_normalize(text_embed)
         cand_n = l2_normalize(embeds, axis=-1)

@@ -7,7 +7,10 @@ thread on the engine Future while the micro-batcher coalesces):
                        "ddim_steps": int?, "format": "npy_b64"|"meta"}
       omitted cond_scale/ddim_steps fall back to the engine's configured
       defaults (the trace key warmup() pre-compiled); ddim_steps=0
-      explicitly requests the full DDPM schedule
+      explicitly requests the full DDPM schedule. `seed` is reproducible
+      PER REQUEST: the sampler uses per-row PRNG keys (utils/keys.py), so
+      the same (prompt, seed, cond_scale, ddim_steps) returns the same
+      video regardless of micro-batch grouping or padding
       -> {"shape": [...], "dtype": str, "batch_size": n, "bucket": b,
           "device_ms": ms, "data_b64": <base64 .npy>?}
   GET  /healthz       -> {"status": "ok", "device": "..."}

@@ -123,15 +123,14 @@ def build_generate_batch(cfg, log):
     compiled = {}
 
     def generate_batch(prompts, seeds, *, cond_scale, ddim_steps):
+        from dalle2_video_tpu.utils import keys as keyutil
+
         tokens = jnp.asarray(tokenize(list(prompts)))
-        # one key per dispatched group, folded from the ORDERED seed
-        # vector: a given (batch composition, seed order) replays exactly;
-        # note a request's noise therefore depends on which group it rode
-        # in — per-request seed stability across groupings would need
-        # per-row keys inside the sampling scan
-        batch_key = jax.random.PRNGKey(0)
-        for s in np.asarray(seeds, dtype=np.uint32):
-            batch_key = jax.random.fold_in(batch_key, int(s))
+        # PER-ROW keys (utils/keys.py): every random draw in the prior and
+        # decoder sampling scans is vmapped per row, so a request's video
+        # is a pure function of its own seed — reproducible no matter
+        # which micro-batch group it rode in or how the group was padded
+        batch_key = keyutil.batch_keys(np.asarray(seeds, dtype=np.uint32))
 
         sig = (float(cond_scale), ddim_steps)
         fn = compiled.get(sig)

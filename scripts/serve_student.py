@@ -126,11 +126,11 @@ def main() -> None:
             parse_prompt(p, int(s), emb_dim)
             for p, s in zip(prompts, np.asarray(seeds))
         ])
-        # key from the ORDERED seed vector: a given (batch composition,
-        # seed order) replays exactly
-        batch_key = jax.random.PRNGKey(0)
-        for s in np.asarray(seeds, dtype=np.uint32):
-            batch_key = jax.random.fold_in(batch_key, int(s))
+        # PER-ROW keys (utils/keys.py): a request's video is a pure
+        # function of its own seed, independent of batch grouping/padding
+        from dalle2_video_tpu.utils import keys as keyutil
+
+        batch_key = keyutil.batch_keys(np.asarray(seeds, dtype=np.uint32))
         fn = compiled.get(float(cond_scale))
         if fn is None:
             fn = jax.jit(lambda p_, k_, e_, _cs=float(cond_scale): dec.sample(

@@ -288,3 +288,39 @@ def test_bf16_sampling_close_to_f32():
                              cond_scale=3.0)
     assert ocfg.dtype == jnp.float32
     assert np.isfinite(np.asarray(ocfg)).all()
+
+
+def test_per_row_keys_batch_composition_invariance(cascade):
+    """Per-row PRNG keys (utils/keys.py): each sample's output is a pure
+    function of its own key — invariant to batch composition AND to
+    max_batch_size chunking. This is what makes served generation
+    reproducible per request (scripts/serve.py)."""
+    from dalle2_video_tpu.utils import keys as keyutil
+
+    dec, params = cascade
+    emb = jax.random.normal(jax.random.PRNGKey(2), (3, EMB))
+    rows = keyutil.batch_keys([11, 22, 33])
+
+    full = dec.sample(params, rows, video_embed=emb)
+    assert np.isfinite(np.asarray(full)).all()
+
+    # row 1 sampled alone (batch 1) reproduces its row of the batch-3 run
+    solo = dec.sample(params, keyutil.take(rows, 1, 1), video_embed=emb[1:2])
+    np.testing.assert_allclose(
+        np.asarray(solo[0]), np.asarray(full[1]), atol=1e-4
+    )
+
+    # chunked sampling keeps each row's key -> identical output
+    chunked = dec.sample(params, rows, video_embed=emb, max_batch_size=2)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(full), atol=1e-4
+    )
+
+    # different key, different sample (the draws actually vary per row)
+    other = dec.sample(
+        params, keyutil.batch_keys([99, 22, 33]), video_embed=emb
+    )
+    assert float(np.abs(np.asarray(other[0]) - np.asarray(full[0])).max()) > 1e-3
+    np.testing.assert_allclose(
+        np.asarray(other[1]), np.asarray(full[1]), atol=1e-4
+    )

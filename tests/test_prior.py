@@ -214,3 +214,30 @@ def test_prior_faithful_transformer_trains():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_prior_sample_per_row_key_invariance(prior):
+    """Per-row keys (utils/keys.py): each row's best-of-N result depends
+    only on its own key (candidate j draws from fold_in(key_i, j))."""
+    from dalle2_video_tpu.utils import keys as keyutil
+
+    p, params = prior
+    te = jax.random.normal(jax.random.PRNGKey(2), (3, D))
+    rows = keyutil.batch_keys([4, 8, 15])
+
+    full = p.sample(params, rows, te, num_samples_per_batch=2)
+    assert np.isfinite(np.asarray(full)).all()
+
+    solo = p.sample(
+        params, keyutil.take(rows, 2, 1), te[2:3], num_samples_per_batch=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(solo[0]), np.asarray(full[2]), atol=1e-5
+    )
+
+    other = p.sample(
+        params, keyutil.batch_keys([4, 99, 15]), te, num_samples_per_batch=2
+    )
+    np.testing.assert_allclose(np.asarray(other[0]), np.asarray(full[0]),
+                               atol=1e-5)
+    assert float(np.abs(np.asarray(other[1]) - np.asarray(full[1])).max()) > 1e-4
