@@ -232,3 +232,48 @@ def make_sharded_sample_stage(decoder, mesh: Mesh, stage_index: int, **fixed):
             )
 
     return jax.jit(run, in_shardings=(repl, repl, batch_sh, batch_sh))
+
+
+def make_data_parallel_sampler(sample_fn, mesh: Mesh):
+    """Wrap a batched sampler for data-parallel serving over the mesh.
+
+    `sample_fn(*arrays) -> (b, ...)` where every argument has the batch as
+    its leading dimension (e.g. tokens, per-row PRNG keys). The wrapper
+    jits the function with each argument sharded over the mesh's data axis
+    and the output sharded the same way, so one dispatched serving group
+    runs across all devices (the TPU equivalent of multi-GPU serving
+    replicas — except it is ONE program, so batching efficiency and the
+    micro-batcher's coalescing carry over unchanged).
+
+    Model params should be captured (closed over) by `sample_fn`; GSPMD
+    replicates them. Batch sizes must divide the data-axis size — pick
+    serving buckets as multiples of it (scripts/serve.py rounds the
+    configured buckets up). With per-row PRNG keys (utils/keys.py) each
+    row's draws are key-pure, so sharded and single-device serving return
+    identical samples.
+    """
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def run(*arrays):
+        with active_mesh(mesh):
+            return sample_fn(*arrays)
+
+    n_args = None  # in_shardings must match arity; resolve lazily
+
+    def wrapped(*arrays):
+        nonlocal n_args
+        if n_args is None:
+            n_args = len(arrays)
+            wrapped.jitted = jax.jit(
+                run,
+                in_shardings=(batch_sh,) * n_args,
+                out_shardings=batch_sh,
+            )
+        data = mesh.shape[DATA_AXIS]
+        b = arrays[0].shape[0]
+        assert b % data == 0, (
+            f"serving batch {b} must be a multiple of the data axis ({data})"
+        )
+        return wrapped.jitted(*arrays)
+
+    return wrapped

@@ -113,6 +113,16 @@ def build_generate_batch(cfg, log):
     wrapper = DALLE2Video(prior, decoder)
     default_st = decoder.sample_timesteps
 
+    # data-parallel serving: shard each dispatched group over the device
+    # mesh (one GSPMD program; params replicated, batch split on 'data').
+    # Per-row keys keep samples identical to single-device serving.
+    dp_mesh = None
+    if bool(cfg.get("serve_data_parallel", False)) and len(jax.devices()) > 1:
+        from dalle2_video_tpu.parallel.mesh import create_mesh
+
+        dp_mesh = create_mesh(data=len(jax.devices()), model=1)
+        log.info("data-parallel serving over %d devices", len(jax.devices()))
+
     # one COMPILED program per (cond_scale, ddim_steps) x token shape: the
     # jitted sampler is cached, so steady-state requests reuse compiled
     # programs — no per-request retracing, no op-by-op dispatch over the
@@ -142,7 +152,14 @@ def build_generate_batch(cfg, log):
                     cond_scale=_scale,
                 )
 
-            fn = jax.jit(run)
+            if dp_mesh is not None:
+                from dalle2_video_tpu.parallel.sharded import (
+                    make_data_parallel_sampler,
+                )
+
+                fn = make_data_parallel_sampler(run, dp_mesh)
+            else:
+                fn = jax.jit(run)
             compiled[sig] = fn
 
         decoder.sample_timesteps = (
@@ -182,9 +199,17 @@ def main() -> None:
         cfg.setdefault("serve_buckets", (1, 2))
 
     generate_batch = build_generate_batch(cfg, log)
+    buckets = tuple(cfg.get("serve_buckets", (1, 2, 4)))
+    if bool(cfg.get("serve_data_parallel", False)) and len(jax.devices()) > 1:
+        # sharded groups must divide the data axis: round buckets up to
+        # multiples of the device count (padding fills the extra rows)
+        n = len(jax.devices())
+        buckets = tuple(sorted({-(-b // n) * n for b in buckets}))
+        log.info("data-parallel buckets rounded to %s (x%d devices)",
+                 buckets, n)
     engine = GenerationEngine(
         generate_batch,
-        buckets=tuple(cfg.get("serve_buckets", (1, 2, 4))),
+        buckets=buckets,
         max_wait_ms=float(cfg.get("serve_max_wait_ms", 25.0)),
         default_cond_scale=float(cfg.get("cond_scale", 1.0)),
         default_ddim_steps=(
