@@ -77,6 +77,10 @@ class VQGanTrainState:
     opt_g: Any
     opt_d: Any
     step: jnp.ndarray
+    # EMA codebook statistics {"cluster_size": (K,), "embed_avg": (K, d)}
+    # when vae.codebook_ema; None (empty pytree node) otherwise, so the
+    # default state tree is unchanged for existing checkpoints
+    vq_ema: Any = None
 
 
 class VQGanTrainer:
@@ -106,19 +110,33 @@ class VQGanTrainer:
         vae_params = self.vae.init_params(kv, frame_size, frames)
         x = jnp.zeros((1, frames, frame_size, frame_size, self.vae.channels))
         disc_params = self.disc.init(kd, x)
+        vq_ema = None
+        if self.vae.codebook_ema:
+            cb = self._codebook(vae_params)
+            vq_ema = {
+                "cluster_size": jnp.zeros((cb.shape[0],), jnp.float32),
+                "embed_avg": cb.astype(jnp.float32),
+            }
         return VQGanTrainState(
             vae_params=vae_params,
             disc_params=disc_params,
             opt_g=self.tx_g.init(vae_params),
             opt_d=self.tx_d.init(disc_params),
             step=jnp.zeros((), jnp.int32),
+            vq_ema=vq_ema,
         )
 
+    @staticmethod
+    def _codebook(vae_params):
+        return vae_params["vq"]["params"]["codebook"]
+
     # ------------------------------------------------------------------ #
-    def _recon(self, vae_params, video):
+    def _recon(self, vae_params, video, with_codes: bool = False):
         z = self.vae._enc().apply(vae_params["encoder"], video)
-        quant, _, vq_loss = self.vae._vq().apply(vae_params["vq"], z)
+        quant, idx, vq_loss = self.vae._vq().apply(vae_params["vq"], z)
         recon = self.vae._dec().apply(vae_params["decoder"], quant)
+        if with_codes:
+            return recon, vq_loss, z, idx
         return recon, vq_loss
 
     def train_step(
@@ -129,10 +147,12 @@ class VQGanTrainer:
 
         # ---- generator: two grad passes so lambda can balance them ----
         def rec_losses(vae_params):
-            recon, vq_loss = self._recon(vae_params, video)
+            recon, vq_loss, z, idx = self._recon(vae_params, video,
+                                                 with_codes=True)
             rec = jnp.mean(jnp.abs(recon - video))
             rec = rec + cfg.perceptual_weight * self.perceptual_fn(recon, video)
-            return rec + vq_loss, (recon, rec, vq_loss)
+            return rec + vq_loss, (recon, rec, vq_loss,
+                                   jax.lax.stop_gradient(z), idx)
 
         def adv_loss(vae_params):
             recon, _ = self._recon(vae_params, video)
@@ -141,9 +161,9 @@ class VQGanTrainer:
             )
             return hinge_g_loss(logits_fake)
 
-        (_, (recon, rec, vq_loss)), g_rec = jax.value_and_grad(
-            rec_losses, has_aux=True
-        )(state.vae_params)
+        (_, (recon, rec, vq_loss, z_codes, idx_codes)), g_rec = (
+            jax.value_and_grad(rec_losses, has_aux=True)(state.vae_params)
+        )
         g_adv_val, g_adv = jax.value_and_grad(adv_loss)(state.vae_params)
 
         def subtree_norm(tree):
@@ -155,6 +175,21 @@ class VQGanTrainer:
         grads = jax.tree_util.tree_map(lambda a, b: a + lam * b, g_rec, g_adv)
         upd_g, opt_g = self.tx_g.update(grads, state.opt_g, state.vae_params)
         vae_params = optax.apply_updates(state.vae_params, upd_g)
+
+        # ---- EMA codebook: grads to the codebook are zero (stop_gradient
+        # in the quantizer); move it from the decayed batch statistics ----
+        vq_ema = state.vq_ema
+        if self.vae.codebook_ema:
+            from dalle2_video_tpu.models.vqvae import ema_codebook_update
+
+            cb, cs, ea = ema_codebook_update(
+                self._codebook(vae_params),
+                vq_ema["cluster_size"], vq_ema["embed_avg"],
+                z_codes, idx_codes, decay=self.vae.ema_decay,
+            )
+            vae_params = dict(vae_params)
+            vae_params["vq"] = {"params": {"codebook": cb}}
+            vq_ema = {"cluster_size": cs, "embed_avg": ea}
 
         # ---- discriminator: hinge vs the (detached) reconstruction ----
         fake = jax.lax.stop_gradient(recon)
@@ -183,6 +218,7 @@ class VQGanTrainer:
             VQGanTrainState(
                 vae_params=vae_params, disc_params=disc_params,
                 opt_g=opt_g, opt_d=opt_d, step=state.step + 1,
+                vq_ema=vq_ema,
             ),
             metrics,
         )

@@ -108,3 +108,71 @@ def test_train_vqgan_script_smoke(tmp_path):
     assert (tmp_path / "vqgan_default" / "last").exists() or any(
         tmp_path.iterdir()
     ), "no checkpoint written"
+
+
+def test_ema_codebook_update_closed_form():
+    """One EMA step matches the van den Oord A.1 recurrences computed by
+    hand (decayed counts/sums + Laplace-smoothed normalization)."""
+    from dalle2_video_tpu.models.vqvae import ema_codebook_update
+
+    k, d, decay, eps = 4, 2, 0.9, 1e-5
+    cb = jnp.asarray(np.arange(k * d, dtype=np.float32).reshape(k, d))
+    cs = jnp.asarray(np.array([1.0, 0.5, 0.0, 2.0], np.float32))
+    ea = cb * cs[:, None]
+    z = jnp.asarray(np.array([[0.0, 1.0], [2.0, 3.0], [4.0, 5.0]], np.float32))
+    idx = jnp.asarray(np.array([0, 0, 2], np.int32))
+
+    new_cb, new_cs, new_ea = ema_codebook_update(
+        cb, cs, ea, z, idx, decay=decay, eps=eps
+    )
+
+    counts = np.array([2.0, 0.0, 1.0, 0.0], np.float32)
+    sums = np.array([[2.0, 4.0], [0, 0], [4.0, 5.0], [0, 0]], np.float32)
+    exp_cs = decay * np.asarray(cs) + (1 - decay) * counts
+    exp_ea = decay * np.asarray(ea) + (1 - decay) * sums
+    n = exp_cs.sum()
+    smoothed = (exp_cs + eps) / (n + k * eps) * n
+    np.testing.assert_allclose(np.asarray(new_cs), exp_cs, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_ea), exp_ea, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_cb), exp_ea / smoothed[:, None], rtol=1e-5
+    )
+
+
+def test_ema_codebook_training_moves_codes_without_gradients():
+    """codebook_ema=True: the quantizer contributes NO codebook gradient
+    (stop_gradient + no embed term), yet training moves used codes toward
+    the encoder's latents via the EMA statistics."""
+    vae = VQVAE(latent_dim=4, base_dim=8, num_down=1, codebook_size=16,
+                codebook_ema=True, ema_decay=0.8)
+    tr = VQGanTrainer(vae, PatchDiscriminator(base_dim=8, num_layers=1),
+                      VQGanTrainerConfig(disc_start=2))
+    state = tr.init_state(jax.random.PRNGKey(0), frame_size=8, frames=2)
+    assert state.vq_ema is not None
+
+    video = jax.random.uniform(jax.random.PRNGKey(1), (2, 2, 8, 8, 3))
+    step = jax.jit(tr.train_step)
+
+    cb0 = np.asarray(state.vae_params["vq"]["params"]["codebook"])
+    # the codebook gets exactly zero GRADIENT...
+    def loss_fn(vp):
+        _, vq_loss, _, _ = tr._recon(vp, video, with_codes=True)
+        return vq_loss
+    g = jax.grad(loss_fn)(state.vae_params)
+    assert float(np.abs(np.asarray(g["vq"]["params"]["codebook"])).max()) == 0.0
+
+    for _ in range(5):
+        state, metrics = step(state, video)
+    assert np.isfinite(float(metrics["loss/rec"]))
+
+    cb5 = np.asarray(state.vae_params["vq"]["params"]["codebook"])
+    assert float(np.abs(cb5 - cb0).max()) > 1e-4  # ...yet it moved (EMA)
+
+    # used codes ended closer to the latents they quantize
+    z = vae._enc().apply(state.vae_params["encoder"], video)
+    _, idx, _ = vae._vq().apply(state.vae_params["vq"], z)
+    flat = np.asarray(z).reshape(-1, 4)
+    ids = np.asarray(idx).reshape(-1)
+    d5 = np.mean(np.sum((flat - cb5[ids]) ** 2, axis=1))
+    d0 = np.mean(np.sum((flat - cb0[ids]) ** 2, axis=1))
+    assert d5 < d0
