@@ -27,7 +27,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dalle2_video_tpu.ops.pallas.flash_mqa import mqa_attention
@@ -77,5 +77,5 @@ def sequence_parallel_mqa(
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )(*args)

@@ -95,14 +95,14 @@ def sharded_clip_loss(
         global_b = lb * jax.lax.psum(1, axis)
         return total / global_b
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return shard_map(
         local_loss,
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(x, y)
 
 
