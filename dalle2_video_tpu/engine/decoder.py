@@ -133,6 +133,12 @@ class VideoDecoderConfig:
     # injection) stays f32 — the inference-side twin of
     # DecoderTrainerConfig.bf16_compute. None = full f32 (reference parity).
     sample_compute_dtype: Optional[str] = None
+    # few-step sampler used when sample_timesteps < timesteps:
+    #   "ddim"  — eta-controlled DDIM (reference-intended behavior)
+    #   "dpmpp" — DPM-Solver++(2M): deterministic second-order multistep in
+    #             data-prediction space (Lu et al. 2022), typically matches
+    #             DDIM at ~4x fewer steps; same ddim_time_pairs grid
+    sampler: str = "ddim"
 
     @property
     def num_unets(self) -> int:
@@ -786,6 +792,100 @@ class VideoDecoder:
         return self._unnormalize(x) if not is_latent else x
 
     # ------------------------------------------------------------------ #
+    # DPM-Solver++(2M) — beyond reference (which has DDPM only; its DDIM is
+    # broken, SURVEY §2e.2). Lu et al. 2022, "DPM-Solver++: Fast Solver for
+    # Guided Sampling of Diffusion Probabilistic Models": deterministic
+    # second-order multistep in data-prediction space — typically matches
+    # DDIM quality at ~4x fewer denoiser calls.
+    # ------------------------------------------------------------------ #
+    def p_sample_loop_dpmpp(
+        self,
+        i: int,
+        unet_params,
+        rng: jax.Array,
+        shape: Tuple[int, ...],
+        *,
+        timesteps: int,
+        cond_scale: float = 1.0,
+        is_latent: bool = False,
+        **cond_kwargs,
+    ) -> jnp.ndarray:
+        """VP-parameterized 2M update over the same static ddim_time_pairs
+        grid. Per step (s -> t), with lam = log(alpha/sigma), h = lam_t -
+        lam_s, r = h_prev / h and x0 the model's data prediction:
+
+            D   = (1 + 1/(2r)) * x0_s - (1/(2r)) * x0_prev     (2nd order)
+            x_t = (sigma_t/sigma_s) * x_s - alpha_t * expm1(-h) * D
+
+        First step and final step use first order (D = x0_s;
+        "lower_order_final"), so the terminal t_next = -1 (alpha_bar = 1)
+        returns the data prediction exactly, like the DDIM loop. All
+        coefficients are precomputed on host (the grid is static)."""
+        sched = self.schedules[i]
+        ucfg = self.unet_configs[i]
+        b = shape[0]
+
+        pairs = ddim_time_pairs(sched.num_timesteps, timesteps)
+        acp = np.concatenate([[1.0], np.asarray(sched.alphas_cumprod)])
+        t_now = np.array([p[0] for p in pairs], np.int32)
+        t_next = np.array([p[1] for p in pairs], np.int32)
+        a_s, s_s = np.sqrt(acp[t_now + 1]), np.sqrt(1.0 - acp[t_now + 1])
+        a_t, s_t = np.sqrt(acp[t_next + 1]), np.sqrt(1.0 - acp[t_next + 1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam_s = np.log(a_s / s_s)
+            lam_t = np.log(a_t / s_t)  # +inf at the terminal step
+            h = lam_t - lam_s
+            r = np.concatenate([[np.nan], h[:-1]]) / h
+        first = np.zeros(len(pairs), bool)
+        first[0] = True
+        first[-1] = True  # lower_order_final
+        first |= ~np.isfinite(r)
+        coef_x = np.where(np.isfinite(s_t / s_s), s_t / s_s, 0.0)
+        coef_d = -a_t * np.expm1(-h)  # h=inf -> a_t (terminal: x = D)
+        c2 = np.where(first, 0.0, 1.0 / (2.0 * np.where(first, 1.0, r)))
+
+        k_init, _ = keyutil.split(rng)
+        x_T = keyutil.normal(k_init, shape)
+
+        lowres = cond_kwargs.get("lowres_cond_video")
+        if lowres is not None and not is_latent:
+            cond_kwargs = dict(cond_kwargs)
+            cond_kwargs["lowres_cond_video"] = self._normalize(lowres)
+
+        clip_denoised = self.config.clip_denoised and not is_latent
+
+        def step(carry, xs):
+            x, x0_prev = carry
+            t_scalar, cx, cd, c2_ = xs
+            t = jnp.full((b,), t_scalar, jnp.int32)
+            self_cond = x0_prev if ucfg.self_cond else None
+            out = self._unet_apply(
+                i, unet_params, x, t, cond_scale=cond_scale,
+                self_cond=self_cond, **cond_kwargs,
+            )
+            pred, _ = self.parse_unet_output(self.learned_variance[i], out)
+            if self.predict_v[i]:
+                x0 = sched.predict_start_from_v(x, t, pred)
+            elif self.predict_x_start[i]:
+                x0 = pred
+            else:
+                x0 = sched.predict_start_from_noise(x, t, pred)
+            if clip_denoised:
+                x0 = self.dynamic_threshold(x0)
+            d = (1.0 + c2_) * x0 - c2_ * x0_prev
+            x_next = cx * x + cd * d
+            return (x_next, x0), None
+
+        xs = (
+            jnp.asarray(t_now),
+            jnp.asarray(coef_x, jnp.float32),
+            jnp.asarray(coef_d, jnp.float32),
+            jnp.asarray(c2, jnp.float32),
+        )
+        (x, _), _ = jax.lax.scan(step, (x_T, jnp.zeros(shape)), xs)
+        return self._unnormalize(x) if not is_latent else x
+
+    # ------------------------------------------------------------------ #
     # cascade sampling (reference sample :2053-2186)
     # ------------------------------------------------------------------ #
     def sample_stage(
@@ -846,7 +946,11 @@ class VideoDecoder:
 
         st = self.sample_timesteps[i]
         if st is not None and st < cfg.timesteps:
-            vid = self.p_sample_loop_ddim(
+            few_step = (
+                self.p_sample_loop_dpmpp
+                if cfg.sampler == "dpmpp" else self.p_sample_loop_ddim
+            )
+            vid = few_step(
                 i, params[f"unet_{i}"], k_loop, shape,
                 timesteps=st, cond_scale=cond_scale, is_latent=vae.is_latent,
                 **cond_kwargs,

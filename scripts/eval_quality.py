@@ -44,6 +44,12 @@ LADDER = tuple(
         if "--ladder" in sys.argv else (8, 16, 64, 250)
     )
 )
+# few-step sampler for the ladder: "ddim" (default) or "dpmpp"
+# (DPM-Solver++(2M)); result keys are fvd_<sampler><steps>
+SAMPLER = (
+    sys.argv[sys.argv.index("--sampler") + 1]
+    if "--sampler" in sys.argv else "ddim"
+)
 COND_SCALE = 2.0
 EMB = 512
 
@@ -162,7 +168,7 @@ def main():
 
     for st in LADDER:
         dec_st = VideoDecoder(dataclasses.replace(
-            cfg, sample_timesteps=(st, st)))
+            cfg, sample_timesteps=(st, st), sampler=SAMPLER))
         t0 = time.time()
         fakes = []
         for s in range(0, N, BATCH):
@@ -173,12 +179,12 @@ def main():
         fakes = np.concatenate(fakes, axis=0)
         dt = time.time() - t0
         fvd = compute_fvd(reals, fakes, embed_fn)
-        results[f"fvd_ddim{st}"] = round(fvd, 3)
-        results[f"sample_s_ddim{st}"] = round(dt, 1)
-        print(f"DDIM-{st}: FVD={fvd:.3f} ({dt:.0f}s for {N} clips)",
-              flush=True)
+        results[f"fvd_{SAMPLER}{st}"] = round(fvd, 3)
+        results[f"sample_s_{SAMPLER}{st}"] = round(dt, 1)
+        print(f"{SAMPLER.upper()}-{st}: FVD={fvd:.3f} ({dt:.0f}s for {N} "
+              "clips)", flush=True)
         flush()
-        if st == 64:
+        if st == 64 and SAMPLER == "ddim":
             save_grid(OUT / "grid_base_ddim64.png", fakes)
             np.save(OUT / "samples_base_ddim64.npy", fakes[:8])
     save_grid(OUT / "grid_real.png", reals)

@@ -55,6 +55,10 @@ def build_decoder(cfg):
             # parity (VideoDecoderConfig default); the shipped yaml opts in
             # to bfloat16 explicitly (configs/celebv_text.yaml).
             sample_compute_dtype=cfg.get("sample_compute_dtype"),
+            # few-step sampler: "ddim" (default) or "dpmpp"
+            # (DPM-Solver++(2M) — second-order, ~4x fewer steps at equal
+            # quality; see engine/decoder.p_sample_loop_dpmpp)
+            sampler=cfg.get("sampler", "ddim"),
         )
     )
 

@@ -126,3 +126,78 @@ def test_ddim_terminates_at_alpha_bar_one():
     )
     z = np.asarray(out) * 2.0 - 1.0
     np.testing.assert_allclose(z, C, atol=1e-5)
+
+
+def test_dpmpp_loop_reproduces_gaussian():
+    """DPM-Solver++(2M) with the exact-score oracle reproduces the data
+    marginal at 16 steps (DDIM needs ~50 for the same tolerance here)."""
+    dec = make_decoder(sample_timesteps=16)
+    out = dec.p_sample_loop_dpmpp(
+        0, None, jax.random.PRNGKey(4), (4096, 1, 1, 1, 1), timesteps=16
+    )
+    _check_marginal(out)
+
+
+def test_dpmpp_terminates_exactly_at_x0():
+    """Constant-x0 oracle: lower_order_final + the terminal alpha_bar = 1
+    step must return EXACTLY the data prediction (like the DDIM loop)."""
+    C = 0.25
+    u = UNet3DConfig(
+        dim=8, dim_mults=(1,), attn_heads=1, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4,
+        init_cross_embed=False, init_conv_ksize=1,
+    )
+    cfg = VideoDecoderConfig(
+        unets=(u,), frame_sizes=(1,), frame_numbers=(1,),
+        timesteps=200, sample_timesteps=6, sampler="dpmpp",
+        learned_variance=False, unconditional=True, clip_denoised=False,
+    )
+    dec = VideoDecoder(cfg)
+    sched = dec.schedules[0]
+
+    def oracle_apply(unet_index, unet_params, x, t, **kwargs):
+        acp = jnp.take(sched.alphas_cumprod, t).reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(acp) * C) / jnp.sqrt(1 - acp)
+
+    dec._unet_apply = oracle_apply
+    out = dec.p_sample_loop_dpmpp(
+        0, None, jax.random.PRNGKey(5), (64, 1, 1, 1, 1), timesteps=6
+    )
+    z = np.asarray(out) * 2.0 - 1.0
+    np.testing.assert_allclose(z, C, atol=1e-5)
+
+
+def test_dpmpp_more_accurate_than_ddim_at_few_steps():
+    """Second-order accuracy: at 8 steps the 2M solver's marginal moments
+    sit closer to the target than eta=0 DDIM's on the same grid."""
+    def moments(loop_name, steps):
+        dec = make_decoder(sample_timesteps=steps)
+        loop = getattr(dec, loop_name)
+        out = loop(0, None, jax.random.PRNGKey(6), (8192, 1, 1, 1, 1),
+                   timesteps=steps)
+        z = np.asarray(out).reshape(-1) * 2.0 - 1.0
+        return abs(z.mean() - MU) + abs(z.std() - SIGMA)
+
+    err_dpmpp = moments("p_sample_loop_dpmpp", 8)
+    err_ddim = moments("p_sample_loop_ddim", 8)
+    assert err_dpmpp < err_ddim, (err_dpmpp, err_ddim)
+
+
+def test_sample_stage_uses_configured_sampler():
+    """cfg.sampler='dpmpp' routes sample_stage's few-step path through the
+    2M loop (smoke through the public sampling surface)."""
+    u = UNet3DConfig(
+        dim=8, dim_mults=(1,), attn_heads=1, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4,
+        init_cross_embed=False, init_conv_ksize=1,
+    )
+    cfg = VideoDecoderConfig(
+        unets=(u,), frame_sizes=(8,), frame_numbers=(2,),
+        timesteps=50, sample_timesteps=4, sampler="dpmpp",
+        learned_variance=False, unconditional=True,
+    )
+    dec = VideoDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(0))
+    out = dec.sample(params, jax.random.PRNGKey(1), batch_size=2)
+    assert out.shape == (2, 2, 8, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()
