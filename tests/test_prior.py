@@ -241,3 +241,37 @@ def test_prior_sample_per_row_key_invariance(prior):
     np.testing.assert_allclose(np.asarray(other[0]), np.asarray(full[0]),
                                atol=1e-5)
     assert float(np.abs(np.asarray(other[1]) - np.asarray(full[1])).max()) > 1e-4
+
+
+def test_dalle2video_generate_per_row_keys(prior):
+    """Full text->video wrapper with per-row keys: a row's video depends
+    only on its own key through BOTH the prior and the decoder."""
+    from dalle2_video_tpu.engine.dalle2video import DALLE2Video
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+    from dalle2_video_tpu.utils import keys as keyutil
+
+    p, prior_params = prior
+    u = UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=D,
+        init_cross_embed=False, init_conv_ksize=3,
+    )
+    dec = VideoDecoder(
+        VideoDecoderConfig(
+            unets=(u,), frame_sizes=(8,), frame_numbers=(2,),
+            timesteps=10, learned_variance=False,
+        )
+    )
+    dec_params = dec.init_params(jax.random.PRNGKey(0))
+    wrapper = DALLE2Video(p, dec)
+    te = jax.random.normal(jax.random.PRNGKey(1), (3, D))
+    rows = keyutil.batch_keys([5, 6, 7])
+
+    full = np.asarray(wrapper.generate(
+        prior_params, dec_params, rows, te, cond_scale=1.5))
+    solo = np.asarray(wrapper.generate(
+        prior_params, dec_params, keyutil.take(rows, 2, 1), te[2:3],
+        cond_scale=1.5))
+    assert np.isfinite(full).all()
+    np.testing.assert_allclose(solo[0], full[2], atol=1e-4)
