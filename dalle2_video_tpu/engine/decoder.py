@@ -139,6 +139,13 @@ class VideoDecoderConfig:
     #             data-prediction space (Lu et al. 2022), typically matches
     #             DDIM at ~4x fewer steps; same ddim_time_pairs grid
     sampler: str = "ddim"
+    # CFG rescale phi (Lin et al. 2023 §3.4, as in diffusers'
+    # rescale_noise_cfg): counteracts the guided prediction's variance
+    # blow-up at high cond_scale by rescaling its per-sample std back to
+    # the conditional branch's, then blending with weight phi. 0 = off
+    # (reference parity). Applied to the prediction channels only (learned
+    # variance channels keep the plain guided combine).
+    cfg_rescale: float = 0.0
 
     @property
     def num_unets(self) -> int:
@@ -400,7 +407,22 @@ class VideoDecoder:
         )
         out2 = out2.astype(out_dtype)
         logits, null_logits = out2[:b], out2[b:]
-        return null_logits + (logits - null_logits) * cond_scale
+        guided = null_logits + (logits - null_logits) * cond_scale
+        phi = self.config.cfg_rescale
+        if phi > 0.0:
+            c = x.shape[-1]  # prediction channels (rest = learned variance)
+            pred_g, rest = guided[..., :c], guided[..., c:]
+            pred_c = logits[..., :c]
+            axes = tuple(range(1, pred_g.ndim))
+            std_c = jnp.std(pred_c, axis=axes, keepdims=True)
+            std_g = jnp.std(pred_g, axis=axes, keepdims=True)
+            rescaled = pred_g * (std_c / jnp.maximum(std_g, 1e-8))
+            pred_out = phi * rescaled + (1.0 - phi) * pred_g
+            guided = (
+                jnp.concatenate([pred_out, rest], axis=-1)
+                if rest.shape[-1] else pred_out
+            )
+        return guided
 
     # ------------------------------------------------------------------ #
     # training loss (reference forward :2188-2299 + p_losses :1933-2051)

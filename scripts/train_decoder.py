@@ -59,6 +59,8 @@ def build_decoder(cfg):
             # (DPM-Solver++(2M) — second-order, ~4x fewer steps at equal
             # quality; see engine/decoder.p_sample_loop_dpmpp)
             sampler=cfg.get("sampler", "ddim"),
+            # CFG rescale phi (Lin et al. 2023); 0 = off (reference parity)
+            cfg_rescale=float(cfg.get("cfg_rescale", 0.0)),
         )
     )
 

@@ -324,3 +324,57 @@ def test_per_row_keys_batch_composition_invariance(cascade):
     np.testing.assert_allclose(
         np.asarray(other[1]), np.asarray(full[1]), atol=1e-4
     )
+
+
+def test_cfg_rescale():
+    """cfg_rescale (Lin et al. 2023): phi=1 pins the guided prediction's
+    per-sample std to the conditional branch's; phi=0 is plain CFG; the
+    learned-variance channels are untouched."""
+    import dataclasses
+
+    u = tiny_unet()
+    base_cfg = VideoDecoderConfig(
+        unets=(u,), frame_sizes=(8,), frame_numbers=(T,),
+        timesteps=10, learned_variance=True,
+    )
+    dec0 = VideoDecoder(base_cfg)
+    params = dec0.init_params(jax.random.PRNGKey(0))
+    # perturb all params: the zero-init output conv makes an untrained
+    # net's prediction identically zero (degenerate stds)
+    rng = np.random.RandomState(0)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * rng.standard_normal(p.shape).astype(p.dtype),
+        params,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8, 8, 3))
+    t = jnp.zeros((B,), jnp.int32)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, EMB))
+
+    plain = dec0._unet_apply(0, params["unet_0"], x, t, cond_scale=5.0,
+                             video_embed=emb)
+    dec1 = VideoDecoder(dataclasses.replace(base_cfg, cfg_rescale=1.0))
+    resc = dec1._unet_apply(0, params["unet_0"], x, t, cond_scale=5.0,
+                            video_embed=emb)
+    cond = dec0._unet_apply(0, params["unet_0"], x, t, cond_scale=1.0,
+                            video_embed=emb)
+
+    c = 3  # prediction channels; the rest is learned variance
+    axes = (1, 2, 3, 4)
+    std_resc = np.asarray(jnp.std(resc[..., :c], axis=axes))
+    std_cond = np.asarray(jnp.std(cond[..., :c], axis=axes))
+    std_plain = np.asarray(jnp.std(plain[..., :c], axis=axes))
+    np.testing.assert_allclose(std_resc, std_cond, rtol=1e-4)
+    # exact algebra: rescaled = plain * (std_cond / std_plain) at phi=1
+    expect = np.asarray(plain[..., :c]) * (
+        std_cond / std_plain
+    ).reshape(-1, 1, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(resc[..., :c]), expect, rtol=1e-4)
+    # variance channels identical to the plain guided combine
+    np.testing.assert_allclose(
+        np.asarray(resc[..., c:]), np.asarray(plain[..., c:]), atol=1e-6
+    )
+    # phi=0 config path equals plain CFG exactly
+    dec2 = VideoDecoder(dataclasses.replace(base_cfg, cfg_rescale=0.0))
+    same = dec2._unet_apply(0, params["unet_0"], x, t, cond_scale=5.0,
+                            video_embed=emb)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(plain), atol=1e-6)
