@@ -54,19 +54,34 @@ class DALLE2Video:
         if self.temporal_emb:
             b, d, t = text_embed.shape
             flat = jnp.transpose(text_embed, (0, 2, 1)).reshape(b * t, d)
+            prior_enc = (
+                jnp.repeat(text_encodings, t, axis=0)
+                if text_encodings is not None else None
+            )
         else:
             flat = text_embed
+            prior_enc = text_encodings
 
+        # forward text encodings when the prior network conditions on them
+        # (omitting the encoding tokens would change the transformer's
+        # sequence length vs training — silent out-of-distribution sampling)
+        prior_needs_enc = self.prior.config.network.cond_on_text_encodings
         video_embed = self.prior.sample(
             prior_params, k_prior, flat,
+            text_encodings=prior_enc if prior_needs_enc else None,
             num_samples_per_batch=self.prior_num_samples,
             cond_scale=prior_cond_scale,
         )
 
         if self.temporal_emb:
-            video_embed = jnp.transpose(
-                video_embed.reshape(b, t, d), (0, 2, 1)
-            )
+            # per-frame embeds -> one decoder conditioning embed (temporal
+            # mean). The reference passes the raw (b, d, t) stack into a
+            # decoder whose embed conditioning is silently inert (its quirk
+            # #1, SURVEY §2e.1); here the conditioning is ACTIVE, and the
+            # unet consumes a single (b, d) embed — pooling keeps the mode
+            # working end to end. Per-frame token conditioning is a
+            # possible extension (one cond token per frame).
+            video_embed = video_embed.reshape(b, t, d).mean(axis=1)
 
         text_enc = text_encodings if self.decoder_need_text_cond else None
         return self.decoder.sample(

@@ -73,13 +73,30 @@ def ddim_time_pairs(total: int, timesteps: int):
     return [(a, b) for a, b in zip(times[:-1], times[1:]) if a > b]
 
 
-def _cast_tuple(v, length: int, validate: bool = True):
+def _cast_tuple(v, length: int):
     if isinstance(v, (tuple, list)):
         out = tuple(v)
-        if validate:
-            assert len(out) == length
+        assert len(out) == length, f"expected {length} entries, got {v}"
         return out
     return (v,) * length
+
+
+def _lowres_flag_tuple(v, n: int) -> Tuple:
+    """Per-SR-unet flag (reference :1310-1330 semantics: the base unet has
+    no lowres conditioning). Accepts a scalar, a length n-1 tuple (one per
+    SR unet), or a full length-n tuple whose base entry must be falsy —
+    rejecting the silent shift-and-truncate a mis-sized tuple used to get."""
+    if isinstance(v, (tuple, list)):
+        v = tuple(v)
+        if len(v) == n:
+            assert not v[0], (
+                "lowres conditioning applies to SR unets only; a length-n "
+                f"tuple must start with False, got {v}"
+            )
+            v = v[1:]
+        assert len(v) == n - 1, f"expected {n - 1} (or {n}) entries, got {v}"
+        return v
+    return (v,) * (n - 1)
 
 
 def _pad_tuple(t: Tuple, length: int, fill):
@@ -173,8 +190,8 @@ class VideoDecoder:
 
         # learned variance: scalar -> first unet only (reference :1300-1305)
         lv = cfg.learned_variance
-        self.learned_variance = (
-            _pad_tuple(_cast_tuple(lv, 1, validate=False) if isinstance(lv, bool) else tuple(lv), n, False)
+        self.learned_variance = _pad_tuple(
+            (lv,) if isinstance(lv, bool) else tuple(lv), n, False
         )
         if cfg.predict_x_start_for_latent_diffusion:
             self.predict_x_start = tuple(v.is_latent for v in self.vaes)
@@ -186,12 +203,10 @@ class VideoDecoder:
         assert self.random_crop_sizes[0] is None, "no random crop for base unet"
 
         # lowres conditioning flags (reference :1310-1330)
-        unoise = cfg.use_noise_for_lowres_cond
-        ublur = cfg.use_blur_for_lowres_cond
-        unoise = _cast_tuple(unoise, n - 1, validate=False) if n > 1 else ()
-        ublur = _cast_tuple(ublur, n - 1, validate=False) if n > 1 else ()
-        self.use_noise_for_lowres = (False, *unoise)[:n] if n > 1 else (False,)[:n]
-        self.use_blur_for_lowres = (False, *ublur)[:n] if n > 1 else (False,)[:n]
+        unoise = _lowres_flag_tuple(cfg.use_noise_for_lowres_cond, n) if n > 1 else ()
+        ublur = _lowres_flag_tuple(cfg.use_blur_for_lowres_cond, n) if n > 1 else ()
+        self.use_noise_for_lowres = (False, *unoise)
+        self.use_blur_for_lowres = (False, *ublur)
         assert n == 1 or all(
             nz or bl
             for nz, bl in zip(self.use_noise_for_lowres[1:], self.use_blur_for_lowres[1:])
@@ -553,15 +568,29 @@ class VideoDecoder:
             lowres_noise_level=lowres_noise_level,
         )
 
+        # mixed precision: diffusion math stays f32 above; the network runs
+        # in compute_dtype (bf16) with f32 master params cast by the trainer.
+        # Cast BEFORE the self-cond block so the extra self-cond forward runs
+        # at the same precision as the main one (an uncast f32 lowres cond
+        # would silently promote that whole forward to f32).
+        x_noisy_in = x_noisy
+        if compute_dtype is not None:
+            cast = lambda a: None if a is None else a.astype(compute_dtype)
+            x_noisy_in = cast(x_noisy)
+            base_kwargs = {
+                k: (cast(v) if k in ("video_embed", "text_encodings",
+                                     "lowres_cond_video") else v)
+                for k, v in base_kwargs.items()
+            }
+
         # self-conditioning: 50% of steps condition on a detached x0 estimate
         # (reference :1971-1975); lax.cond pays the extra forward only when
         # the coin lands
         self_cond = None
         if ucfg.self_cond:
             def with_selfcond(_):
-                sc_in = x_noisy if compute_dtype is None else x_noisy.astype(compute_dtype)
                 out = unet.apply(
-                    unet_params, sc_in, times,
+                    unet_params, x_noisy_in, times,
                     video_keep_mask=jnp.ones((b,), bool),
                     text_keep_mask=jnp.ones((b,), bool),
                     **base_kwargs,
@@ -573,19 +602,8 @@ class VideoDecoder:
             self_cond = jax.lax.cond(
                 coin, with_selfcond, lambda _: jnp.zeros_like(x_noisy), None
             )
-
-        # mixed precision: diffusion math stays f32 above; the network runs
-        # in compute_dtype (bf16) with f32 master params cast by the trainer
-        x_noisy_in = x_noisy
-        if compute_dtype is not None:
-            cast = lambda a: None if a is None else a.astype(compute_dtype)
-            x_noisy_in = cast(x_noisy)
-            base_kwargs = {
-                k: (cast(v) if k in ("video_embed", "text_encodings",
-                                     "lowres_cond_video") else v)
-                for k, v in base_kwargs.items()
-            }
-            self_cond = cast(self_cond)
+            if compute_dtype is not None:
+                self_cond = self_cond.astype(compute_dtype)
 
         unet_output = unet.apply(
             unet_params,

@@ -161,7 +161,13 @@ class DiffusionPriorNetwork(nn.Module):
         te = jnp.where(text_keep_mask[:, None], text_embed, null_text)
 
         tokens = []
-        if cfg.cond_on_text_encodings and text_encodings is not None:
+        if cfg.cond_on_text_encodings:
+            # omitting the encoding tokens would change the transformer's
+            # sequence length vs training (CFG drops swap in null embeds,
+            # never remove the tokens) — require them, don't silently skip
+            assert text_encodings is not None, (
+                "cond_on_text_encodings=True but no text_encodings passed"
+            )
             enc_dim = cfg.text_encoding_dim or d
             enc = nn.Dense(d, kernel_init=torch_kernel_init, name="enc_proj")(text_encodings)
             enc = enc[:, : cfg.max_text_len]

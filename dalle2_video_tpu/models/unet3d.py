@@ -285,7 +285,13 @@ class UNet3D(nn.Module):
 
         # --- text encodings conditioning (reference :815-848) ------------ #
         text_tokens = None
-        if cfg.cond_on_text_encodings and text_encodings is not None:
+        if cfg.cond_on_text_encodings:
+            # reference asserts presence (:816); silently dropping the
+            # tokens would change the conditioning sequence length and
+            # train/serve a different model than configured
+            assert text_encodings is not None, (
+                "cond_on_text_encodings=True but no text_encodings passed"
+            )
             assert cfg.text_embed_dim is not None
             assert text_encodings.shape[-1] == cfg.text_embed_dim
             text_mask = jnp.any(text_encodings != 0.0, axis=-1)  # (b, n)

@@ -275,3 +275,34 @@ def test_dalle2video_generate_per_row_keys(prior):
         cond_scale=1.5))
     assert np.isfinite(full).all()
     np.testing.assert_allclose(solo[0], full[2], atol=1e-4)
+
+
+def test_dalle2video_temporal_emb_mode(prior):
+    """temporal_emb: (b, d, t) per-frame text embeds flatten through the
+    prior (with per-frame best-of-N) and pool to one ACTIVE decoder
+    conditioning embed (the reference's embed conditioning was inert —
+    SURVEY §2e.1 — so its raw (b,d,t) passthrough never executed)."""
+    from dalle2_video_tpu.engine.dalle2video import DALLE2Video
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+
+    p, prior_params = prior
+    u = UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=D,
+        init_cross_embed=False, init_conv_ksize=3,
+    )
+    dec = VideoDecoder(
+        VideoDecoderConfig(
+            unets=(u,), frame_sizes=(8,), frame_numbers=(2,),
+            timesteps=10, learned_variance=False,
+        )
+    )
+    dec_params = dec.init_params(jax.random.PRNGKey(0))
+    wrapper = DALLE2Video(p, dec, temporal_emb=True)
+    te = jax.random.normal(jax.random.PRNGKey(1), (2, D, 3))  # (b, d, t)
+    vid = wrapper.generate(
+        prior_params, dec_params, jax.random.PRNGKey(2), te, cond_scale=1.5
+    )
+    assert vid.shape == (2, 2, 8, 8, 3)
+    assert np.all(np.isfinite(np.asarray(vid)))
