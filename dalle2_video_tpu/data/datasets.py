@@ -209,23 +209,40 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that honors `stop`: a plain q.put blocks forever
+            # when the consumer abandons iteration early (queue stays full),
+            # leaking the thread and ~prefetch decoded batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in range(nb):
                     if stop.is_set():
                         return
                     sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    q.put(self.ds.batch_items(sel))
-            finally:
-                q.put(None)
+                    if not put(("batch", self.ds.batch_items(sel))):
+                        return
+                put(("done", None))
+            except BaseException as exc:  # noqa: BLE001 — surface to consumer
+                # an IO error must FAIL the epoch, not truncate it silently
+                put(("error", exc))
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
         try:
             while True:
-                item = q.get()
-                if item is None:
+                kind, item = q.get()
+                if kind == "done":
                     return
+                if kind == "error":
+                    raise item
                 yield item
         finally:
             stop.set()

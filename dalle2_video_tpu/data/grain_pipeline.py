@@ -32,6 +32,11 @@ class _Source:
         return len(self._indices)
 
     def __getitem__(self, i) -> Dict[str, np.ndarray]:
+        # one record per call: grain parallelizes IO across WORKER
+        # PROCESSES, not via batched reads — the C++ ShardReader's batched
+        # mmap gather (shards.py) is only exercised by BatchLoader, which
+        # remains the fastest single-process path; this source trades that
+        # for grain's process isolation + determinism
         batch = self._ds.batch_items(np.asarray([self._indices[int(i)]]))
         return {k: v[0] for k, v in batch.items()}
 

@@ -28,16 +28,39 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build_native(force: bool = False) -> Path:
-    """Compile the C++ reader once (g++ -O3); cached next to the source."""
-    if _LIB_CACHE.exists() and not force:
-        src_m = _LIB_SOURCE.stat().st_mtime
-        if _LIB_CACHE.stat().st_mtime >= src_m:
-            return _LIB_CACHE
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-         str(_LIB_SOURCE), "-o", str(_LIB_CACHE)],
-        check=True,
-    )
+    """Compile the C++ reader once (g++ -O3); cached next to the source.
+
+    Concurrency-safe for multi-process first use (e.g. grain worker
+    processes): an fcntl lock serializes the compile, and the output is
+    written to a per-pid temp path then os.replace'd — a concurrent dlopen
+    can never see a half-written .so."""
+    def fresh() -> bool:
+        return (
+            _LIB_CACHE.exists()
+            and _LIB_CACHE.stat().st_mtime >= _LIB_SOURCE.stat().st_mtime
+        )
+
+    if fresh() and not force:
+        return _LIB_CACHE
+
+    import fcntl
+    import os
+
+    lock_path = _LIB_CACHE.with_suffix(".lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if fresh() and not force:  # another process built it meanwhile
+                return _LIB_CACHE
+            tmp = _LIB_CACHE.with_suffix(f".tmp.{os.getpid()}.so")
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 str(_LIB_SOURCE), "-o", str(tmp)],
+                check=True,
+            )
+            os.replace(tmp, _LIB_CACHE)  # atomic on the same filesystem
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
     return _LIB_CACHE
 
 

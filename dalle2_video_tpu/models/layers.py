@@ -37,6 +37,10 @@ torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "unifo
 
 
 def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    # eps=1e-12 matches torch F.normalize (dalle2-pytorch's l2norm for
+    # cosine-sim attention / embed scaling); utils/contrastive.l2_normalize
+    # keeps 1e-8 for the reference CLIPLoss's normalize semantics — the
+    # difference is deliberate parity, not drift
     return x / jnp.clip(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
@@ -226,7 +230,11 @@ class Block3D(nn.Module):
                 scale = jnp.zeros((b, self.dim_out), jnp.float32)
                 shift = jnp.zeros((b, self.dim_out), jnp.float32)
             return fused_block3d(
-                x, kernel, cbias, gamma, beta, scale, shift, self.groups, 1e-5
+                x, kernel, cbias, gamma, beta, scale, shift, self.groups, 1e-5,
+                # Mosaic only lowers on TPU; CPU runs (tests' virtual mesh,
+                # smoke modes) go through the interpreter — same guard as
+                # SpatialConv's pallas_small path
+                interpret=jax.default_backend() == "cpu",
             )
         x = SpatialConv(self.dim_out, 3, name="project", impl=self.conv_impl)(x)
         if self.norm_impl == "skip":

@@ -95,6 +95,13 @@ def maybe_init_distributed(enabled: bool = False) -> None:
     environment's single-chip tunnel) must not attempt coordination."""
     if not enabled:
         return
-    if jax.process_count() > 1:
-        return  # already initialized
-    jax.distributed.initialize()
+    # Do NOT probe jax.process_count() first: it initializes the XLA
+    # backend, after which jax.distributed.initialize() always raises
+    # ("must be called before any JAX calls"). Call initialize directly
+    # and treat "already initialized" as a no-op.
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # second call in the same process — fine
+        raise

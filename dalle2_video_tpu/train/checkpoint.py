@@ -84,7 +84,22 @@ class RollingCheckpointManager:
         ) if best_k else None
         self._best_k = best_k
         self._metric_key = metric_key
-        (self._dir / _VERSION_KEY).write_text(__version__)
+        # stamp the WRITER's version once; never overwrite an existing
+        # stamp (read-only helpers construct managers too — clobbering
+        # would destroy the recorded writer version and make mismatch
+        # detection impossible)
+        vfile = self._dir / _VERSION_KEY
+        if vfile.exists():
+            recorded = vfile.read_text().strip()
+            if recorded != __version__:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "checkpoint dir %s was written by framework version %s "
+                    "(current: %s)", self._dir, recorded, __version__,
+                )
+        else:
+            vfile.write_text(__version__)
 
     @property
     def directory(self) -> Path:

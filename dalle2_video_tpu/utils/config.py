@@ -42,19 +42,30 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
 
 def _interpolate(cfg: Dict[str, Any], root: Optional[Dict[str, Any]] = None) -> Any:
     """Resolve ${dotted.path} references (OmegaConf-style interpolation,
-    reference configs/celebv-text.yaml:34-36)."""
+    reference configs/celebv-text.yaml:34-36). A value that IS a single
+    reference keeps the referent's type; embedded references inside a
+    longer string (e.g. "${base}/runs", "${a}-${b}") substitute as text."""
+    import re
+
     root = root if root is not None else cfg
+    ref_re = re.compile(r"\$\{([^}]+)\}")
+
+    def lookup(path: str):
+        node: Any = root
+        for p in path.split("."):
+            node = node[p]
+        return resolve(node)
 
     def resolve(v):
         if isinstance(v, dict):
             return {k: resolve(x) for k, x in v.items()}
         if isinstance(v, list):
             return [resolve(x) for x in v]
-        if isinstance(v, str) and v.startswith("${") and v.endswith("}"):
-            node: Any = root
-            for p in v[2:-1].split("."):
-                node = node[p]
-            return resolve(node)
+        if isinstance(v, str):
+            full = ref_re.fullmatch(v)
+            if full:
+                return lookup(full.group(1))  # typed single reference
+            return ref_re.sub(lambda m: str(lookup(m.group(1))), v)
         return v
 
     return resolve(cfg)

@@ -261,3 +261,68 @@ def test_real_clip_vocab_golden_ids():
         pytest.skip("real CLIP BPE vocab asset not present (no egress)")
     ids = tokenize(["a photo of a cat"], tokenizer=get_tokenizer())
     assert ids[0, :7].tolist() == [49406, 320, 1125, 539, 320, 2368, 49407]
+
+
+def test_config_embedded_interpolation(tmp_path):
+    """${ref} resolves typed when it IS the value, and substitutes as text
+    when embedded in a longer string (OmegaConf-style)."""
+    from dalle2_video_tpu.utils.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "base: runs\n"
+        "dim: 64\n"
+        "typed: ${dim}\n"
+        "run_dir: ${base}/decoder\n"
+        "name: ${base}-${dim}\n"
+        "nested:\n"
+        "  inner: ${dim}\n"
+        "  path: x/${nested.inner}/y\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg["typed"] == 64 and isinstance(cfg["typed"], int)
+    assert cfg["run_dir"] == "runs/decoder"
+    assert cfg["name"] == "runs-64"
+    assert cfg["nested"]["path"] == "x/64/y"
+
+
+def test_batchloader_propagates_worker_errors():
+    """An IO error mid-epoch must FAIL the iteration, not truncate it
+    silently (the old sentinel-on-finally swallowed worker exceptions)."""
+    import pytest
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def batch_items(self, sel):
+            if int(np.asarray(sel)[0]) >= 4:
+                raise IOError("corrupted shard")
+            return {"x": np.zeros((len(sel), 1))}
+
+    loader = BatchLoader(Boom(), batch_size=2, shuffle=False)
+    with pytest.raises(IOError, match="corrupted shard"):
+        list(loader)
+
+
+def test_batchloader_early_abandon_does_not_hang():
+    """Abandoning iteration early (next(iter(...))) must release the
+    prefetch worker promptly instead of leaving it blocked on a full
+    queue forever."""
+    import threading
+    import time
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def batch_items(self, sel):
+            return {"x": np.zeros((len(sel), 1))}
+
+    before = threading.active_count()
+    for _ in range(4):
+        next(iter(BatchLoader(DS(), batch_size=2, shuffle=False, prefetch=1)))
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch workers leaked"

@@ -602,3 +602,20 @@ def test_checkpoint_layout_helpers(tmp_path):
     assert has_checkpoint(str(leg))
     assert float(load_latest(str(leg), target)["w"][0]) == 7.0
     assert float(load_best(str(leg), target)["w"][0]) == 3.0
+
+
+def test_checkpoint_version_stamp_preserved_by_readers():
+    """Read-only helpers (has_checkpoint/load_latest) construct managers
+    too; they must not clobber the recorded WRITER version."""
+    import tempfile
+
+    from dalle2_video_tpu.train import checkpoint as ckpt_mod
+    from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
+
+    with tempfile.TemporaryDirectory() as d:
+        m = RollingCheckpointManager(d, max_to_keep=1)
+        vfile = m.directory / ckpt_mod._VERSION_KEY
+        assert vfile.read_text().strip() == ckpt_mod.__version__
+        vfile.write_text("0.0-old-writer")  # simulate an old writer
+        RollingCheckpointManager(d, max_to_keep=1)  # a reader constructs one
+        assert vfile.read_text().strip() == "0.0-old-writer"
