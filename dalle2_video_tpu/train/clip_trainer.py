@@ -57,7 +57,13 @@ class ClipTrainer:
         self.cfg = cfg
 
         if cfg.lr_scheduler == "cosine":
-            sched = optax.cosine_decay_schedule(cfg.lr, cfg.total_steps)
+            # alpha=0.01 mirrors the reference's eta_min = 0.01 * lr
+            # (train_clip.py:92-94). Documented divergence: the reference
+            # steps CosineAnnealingLR once per EPOCH (T_max=epochs); this
+            # schedule anneals per optimizer step over total_steps — same
+            # endpoints, smoother path.
+            sched = optax.cosine_decay_schedule(cfg.lr, cfg.total_steps,
+                                                alpha=0.01)
         elif cfg.lr_scheduler == "multistep":
             boundaries = {
                 int(m * cfg.total_steps): cfg.lr_step_gamma
@@ -69,7 +75,18 @@ class ClipTrainer:
         self.schedule = sched
         tx = [optax.scale_by_adam()]
         if cfg.weight_decay > 0:
-            tx.append(optax.add_decayed_weights(cfg.weight_decay))
+            # decay the ViViT weights only: the learned temperature is a
+            # log-scale loss parameter the reference never decays (its
+            # optimizer holds video_encoder.parameters() alone)
+            def wd_mask(params):
+                return {
+                    "vivit": jax.tree_util.tree_map(lambda _: True,
+                                                    params["vivit"]),
+                    "temp": False,
+                }
+
+            tx.append(optax.add_decayed_weights(cfg.weight_decay,
+                                                mask=wd_mask))
         tx.append(optax.scale_by_learning_rate(sched))
         self.optimizer = optax.chain(*tx)
 
@@ -105,17 +122,34 @@ class ClipTrainer:
     def embed_video(self, state: ClipTrainState, videos: jnp.ndarray) -> jnp.ndarray:
         return self.vivit.apply(state.vivit_params, videos)
 
+    def _vivit_apply_kwargs(self, rng) -> dict:
+        """Dropout plumbing: training applies the tower stochastically when
+        dropout is configured (reference model.train() semantics) — an
+        explicit rng is then REQUIRED, never silently skipped."""
+        has_dropout = self.vivit.cfg.dropout > 0 or self.vivit.cfg.emb_dropout > 0
+        if not has_dropout:
+            return {}
+        if rng is None:
+            raise ValueError(
+                "ViViT dropout/emb_dropout is configured — pass rng to "
+                "train_step so training actually applies it"
+            )
+        return {"deterministic": False, "rngs": {"dropout": rng}}
+
     def train_step(
         self,
         state: ClipTrainState,
         text_params: Any,
         videos: jnp.ndarray,
         tokens: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
     ) -> Tuple[ClipTrainState, Dict[str, jnp.ndarray]]:
         text_embeds = self.embed_text(text_params, tokens)
+        apply_kw = self._vivit_apply_kwargs(rng)
 
         def loss_fn(trainable):
-            video_embeds = self.vivit.apply(trainable["vivit"], videos)
+            video_embeds = self.vivit.apply(trainable["vivit"], videos,
+                                            **apply_kw)
             loss = clip_loss(video_embeds, text_embeds, trainable["temp"])
             return loss, video_embeds
 
@@ -146,19 +180,18 @@ class ClipTrainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from dalle2_video_tpu.parallel.mesh import DATA_AXIS
-        from dalle2_video_tpu.utils.contrastive import (
-            retrieval_metrics,
-            sharded_clip_loss,
-        )
+        from dalle2_video_tpu.utils.contrastive import sharded_clip_loss
 
         batch_sh = NamedSharding(mesh, P(DATA_AXIS))
         repl = NamedSharding(mesh, P())
 
-        def step(state, text_params, videos, tokens):
+        def step(state, text_params, videos, tokens, rng=None):
             text_embeds = self.embed_text(text_params, tokens)
+            apply_kw = self._vivit_apply_kwargs(rng)
 
             def loss_fn(trainable):
-                video_embeds = self.vivit.apply(trainable["vivit"], videos)
+                video_embeds = self.vivit.apply(trainable["vivit"], videos,
+                                                **apply_kw)
                 loss = sharded_clip_loss(
                     video_embeds, text_embeds, trainable["temp"], mesh
                 )
@@ -182,7 +215,9 @@ class ClipTrainer:
                 metrics,
             )
 
-        return jax.jit(step, in_shardings=(None, repl, batch_sh, batch_sh))
+        # rng (5th arg) is replicated when provided; None adds no leaves
+        return jax.jit(step,
+                       in_shardings=(None, repl, batch_sh, batch_sh, repl))
 
     def eval_step(
         self, state: ClipTrainState, text_params: Any, videos, tokens

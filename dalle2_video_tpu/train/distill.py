@@ -75,6 +75,12 @@ class DistillTrainer:
                 "distillation with self-conditioning is not supported — "
                 "the teacher two-step would need chained self-cond state"
             )
+        if decoder.unet_configs[i].lowres_cond:
+            raise NotImplementedError(
+                "distilling a lowres-conditioned SR stage is not supported "
+                "yet — the distill loss does not build lowres_cond_video / "
+                "lowres_noise_level (base-stage distillation only)"
+            )
         if cfg.teacher_cond_scale != 1.0 and not decoder.can_classifier_guidance:
             raise ValueError(
                 "teacher_cond_scale > 1 needs a teacher trained with "

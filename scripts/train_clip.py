@@ -69,6 +69,8 @@ def main() -> None:
         frame_size=ve["frame_size"], patch_size=ve["patch_size"],
         num_frames=ve["num_frames"], dim=ve["dim"], depth=ve["depth"],
         heads=ve["heads"], dim_head=ve["dim_head"],
+        dropout=float(ve.get("dropout", 0.0)),
+        emb_dropout=float(ve.get("emb_dropout", 0.0)),
     )
     from dalle2_video_tpu.models.clip_text import CLIPTextConfig
 
@@ -129,9 +131,11 @@ def main() -> None:
         # epoch-MEAN metrics (reference logs epoch means, train_clip.py:172-191)
         train_metrics = []
         for batch in train_loader:
+            rng, k_drop = jax.random.split(rng)
             state, metrics = train_step(
                 state, text_params,
                 jnp.asarray(batch["videos"]), jnp.asarray(batch["texts"]),
+                k_drop,  # dropout rng (inert when dropout is 0)
             )
             train_metrics.append(metrics)  # on device; one sync per epoch
         if train_metrics:

@@ -254,3 +254,34 @@ def test_openai_clip_text_import_equivalence(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got_embed), want_embed.numpy(), atol=1e-4, rtol=1e-4
     )
+
+
+def test_vivit_dropout_applies_in_training():
+    """Configured dropout must actually run during train_step (the
+    reference's model.train() semantics): an rng is required, and
+    different rngs give different losses."""
+    import pytest
+
+    from dalle2_video_tpu.models.clip_text import CLIPTextConfig
+    from dalle2_video_tpu.models.vivit import ViViTConfig
+    from dalle2_video_tpu.train.clip_trainer import ClipTrainer, ClipTrainerConfig
+
+    vcfg = ViViTConfig(dim=32, num_frames=4, frame_size=16, patch_size=8,
+                       depth=1, heads=2, dim_head=16, scale_dim_conv=2,
+                       dropout=0.5, emb_dropout=0.5)
+    tcfg = CLIPTextConfig(vocab_size=64, context_length=8, width=32, heads=2,
+                          layers=1, embed_dim=32)
+    tr = ClipTrainer(vcfg, tcfg, ClipTrainerConfig(lr=1e-3))
+    videos = jax.random.uniform(jax.random.PRNGKey(0), (4, 4, 16, 16, 3))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 64)
+    state = tr.init_state(jax.random.PRNGKey(2), videos[:1])
+    text_params = tr.init_text_params(jax.random.PRNGKey(3))
+
+    with pytest.raises(ValueError, match="dropout"):
+        tr.train_step(state, text_params, videos, tokens)
+
+    _, m1 = tr.train_step(state, text_params, videos, tokens,
+                          jax.random.PRNGKey(10))
+    _, m2 = tr.train_step(state, text_params, videos, tokens,
+                          jax.random.PRNGKey(11))
+    assert float(m1["loss"]) != float(m2["loss"])  # stochastic forward
