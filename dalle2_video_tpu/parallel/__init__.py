@@ -5,6 +5,7 @@ from dalle2_video_tpu.parallel.mesh import (
     create_mesh,
     replicated,
     shard_batch,
+    shard_with,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "create_mesh",
     "replicated",
     "shard_batch",
+    "shard_with",
 ]

@@ -73,20 +73,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the leading axis on `data`.
+def shard_with(mesh: Mesh, sharding: NamedSharding, tree):
+    """Multi-host-aware device_put with an ARBITRARY sharding.
 
-    Multi-host aware: when more than one process participates, each host
-    passes its PROCESS-LOCAL slice of the global batch (from a loader
-    sharded with shard_index=jax.process_index()) and this assembles the
-    global jax.Array across hosts (DCN never carries the batch data)."""
-    s = batch_sharding(mesh)
+    When more than one process participates, each host passes its
+    PROCESS-LOCAL slice along the sharded axes (from a loader sharded with
+    shard_index=jax.process_index()) and this assembles the global
+    jax.Array across hosts (DCN never carries the batch data)."""
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
-            batch,
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
         )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with the leading axis on `data`
+    (multi-host aware — see shard_with)."""
+    return shard_with(mesh, batch_sharding(mesh), batch)
 
 
 def maybe_init_distributed(enabled: bool = False) -> None:

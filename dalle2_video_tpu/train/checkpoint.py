@@ -265,6 +265,24 @@ def load_latest(path: str, target: Any) -> Any:
     return load_checkpoint(str(p), target)
 
 
+def load_params_subtree(path: str, params_template: Any, which: str = "best") -> Any:
+    """Model params from a stage checkpoint dir, layout-agnostic.
+
+    Resumable trainers (train_prior/train_vqgan) save their FULL training
+    state ({"params": ..., "opt_state": ...} or a dataclass with a
+    params-like field); older runs saved bare params. Inference consumers
+    (sample/serve) only need the params — restore structure-free and
+    select, then cast into the template's dtypes."""
+    loader = load_best if which == "best" else load_latest
+    raw = loader(path, None)  # orbax StandardRestore without a template
+    if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+        raw = raw["params"]
+    return jax.tree_util.tree_map(
+        lambda t, a: jax.numpy.asarray(a, getattr(t, "dtype", None)),
+        params_template, raw,
+    )
+
+
 def load_best(path: str, target: Any) -> Any:
     """Best-metric state under ``path`` (falls back to newest/legacy)."""
     p = Path(path).absolute()

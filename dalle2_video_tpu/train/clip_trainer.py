@@ -215,9 +215,22 @@ class ClipTrainer:
                 metrics,
             )
 
-        # rng (5th arg) is replicated when provided; None adds no leaves
-        return jax.jit(step,
-                       in_shardings=(None, repl, batch_sh, batch_sh, repl))
+        # pjit's in_shardings must match the CALLED arity: dispatch between
+        # the 4-arg (no dropout) and 5-arg (rng replicated) compilations
+        jit_plain = jax.jit(
+            lambda st, tp, v, t: step(st, tp, v, t),
+            in_shardings=(None, repl, batch_sh, batch_sh),
+        )
+        jit_drop = jax.jit(
+            step, in_shardings=(None, repl, batch_sh, batch_sh, repl)
+        )
+
+        def dispatch(state, text_params, videos, tokens, rng=None):
+            if rng is None:
+                return jit_plain(state, text_params, videos, tokens)
+            return jit_drop(state, text_params, videos, tokens, rng)
+
+        return dispatch
 
     def eval_step(
         self, state: ClipTrainState, text_params: Any, videos, tokens

@@ -38,6 +38,18 @@ class MetricsLogger:
                 json.dumps(config, indent=2, default=str)
             )
 
+    def heartbeat(self) -> None:
+        """Touch a sidecar file at batch granularity so supervisors
+        (scripts/run_elastic.py) can detect hangs mid-epoch — the metrics
+        JSONL itself is written only once per epoch, which made healthy
+        long epochs look stale. Rate-limited to one touch per 5 s (a pure
+        host-side utime; never syncs the device)."""
+        now = time.time()
+        if now - getattr(self, "_hb_time", 0.0) < 5.0:
+            return
+        self._hb_time = now
+        (self.dir / f"{self.path.stem.replace('.metrics', '')}.heartbeat").touch()
+
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None) -> None:
         rec = {"time": time.time(), **({"step": step} if step is not None else {})}
         rec.update({k: float(v) if hasattr(v, "item") or hasattr(v, "astype") else v

@@ -72,7 +72,10 @@ void* sr_open(const char* path) {
   s->base = static_cast<const uint8_t*>(mem);
   s->mapped = st.st_size;
   std::memcpy(&s->hdr, s->base, sizeof(Header));
-  if (s->hdr.magic != kMagic ||
+  // validate EVERY header field a corrupt/truncated file could carry:
+  // ndim bounds the sr_dims memcpy (dims[8]); dtype indexes the Python
+  // _DTYPES table — both would otherwise drive out-of-bounds behavior
+  if (s->hdr.magic != kMagic || s->hdr.ndim > 8 || s->hdr.dtype > 2 ||
       sizeof(Header) + static_cast<size_t>(s->hdr.num_records) * s->hdr.record_bytes >
           s->mapped) {
     munmap(mem, st.st_size);

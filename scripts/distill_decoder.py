@@ -122,8 +122,6 @@ def main():
         del dstate
 
     # ------------------------------------------------------------ scoring
-    import dataclasses
-
     reals, embs = blob_videos(np.random.RandomState(123), N_EVAL, 16, 64)
     embed_fn, provenance = vivit_embed_fn(None)
     results.setdefault("extractor", provenance)
@@ -158,7 +156,7 @@ def main():
             )
         fakes = np.concatenate(fakes, axis=0)
         dt = time.time() - t0
-        fvd = compute_fvd(reals, fakes, embed_fn)
+        fvd = fvd_from_features(feats_real, embed_fn(fakes))  # reals embedded once
         results[f"fvd_{tag}"] = round(fvd, 3)
         results[f"sample_s_{tag}"] = round(dt, 1)
         print(f"{tag}: FVD={fvd:.3f} ({dt:.0f}s for {N_EVAL})", flush=True)

@@ -84,6 +84,18 @@ def main() -> None:
         v_out.append(np.asarray(embed_v(state, jnp.asarray(batch["videos"]))))
         t_out.append(np.asarray(embed_t(text_params, jnp.asarray(batch["texts"]))))
 
+    # tail pass: BatchLoader is drop-remainder; the last n % batch_size
+    # clips must still be embedded (this dump IS the dataset for the prior
+    # and decoder stages — silently omitting rows excludes those clips
+    # from all downstream training)
+    done = sum(v.shape[0] for v in v_out)
+    if done < len(ds):
+        tail = ds.batch_items(np.arange(done, len(ds)))
+        v_out.append(np.asarray(embed_v(state, jnp.asarray(tail["videos"]))))
+        t_out.append(np.asarray(embed_t(text_params, jnp.asarray(tail["texts"]))))
+        log.info("embedded %d tail clips (drop-remainder loader)",
+                 len(ds) - done)
+
     video_embeds = np.concatenate(v_out)
     text_embeds = np.concatenate(t_out)
     Path(cfg["videos"]["embed"]).parent.mkdir(parents=True, exist_ok=True)

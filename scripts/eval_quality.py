@@ -178,7 +178,10 @@ def main():
                 cond_scale=COND_SCALE, stop_at_unet_number=1)))
         fakes = np.concatenate(fakes, axis=0)
         dt = time.time() - t0
-        fvd = compute_fvd(reals, fakes, embed_fn)
+        # reuse feats_real (computed once above) instead of re-embedding
+        # the identical real set per ladder point (tunnel dispatches are
+        # the documented bottleneck on this backend)
+        fvd = fvd_from_features(feats_real, embed_fn(fakes))
         results[f"fvd_{SAMPLER}{st}"] = round(fvd, 3)
         results[f"sample_s_{SAMPLER}{st}"] = round(dt, 1)
         print(f"{SAMPLER.upper()}-{st}: FVD={fvd:.3f} ({dt:.0f}s for {N} "

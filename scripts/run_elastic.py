@@ -59,18 +59,36 @@ def main() -> int:
 
     if args.watch is None:
         # per-run heartbeat: MetricsLogger writes
-        # {run_dir}/{stage}_{train_name}.metrics.jsonl — watch only THIS
-        # run's files (ADVICE r2: the global runs/**/*.jsonl default let any
-        # concurrent run keep the heartbeat fresh and mask a hang here)
+        # {run_dir}/{stage}_{train_name}.metrics.jsonl plus a
+        # {stage}_{train_name}.heartbeat touched every few seconds of
+        # training (batch granularity — the JSONL alone is epoch-mean and
+        # goes stale mid-epoch on long epochs). Watch only THIS run's
+        # files (ADVICE r2: a global glob let any concurrent run mask a
+        # hang here). run_dir/train_name come from CLI overrides first,
+        # then the command's YAML config (if any), then defaults.
         overrides = dict(a.split("=", 1) for a in cmd if "=" in a and
                          not a.startswith("-"))
-        run_dir = overrides.get("run_dir", "runs")
-        train_name = overrides.get("train_name")
+        run_dir, train_name = overrides.get("run_dir"), overrides.get("train_name")
+        yaml_args = [a for a in cmd if a.endswith((".yaml", ".yml"))]
+        if (run_dir is None or train_name is None):
+            try:
+                sys.path.insert(0, os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))))
+                from dalle2_video_tpu.utils.config import load_config
+
+                ycfg = load_config(yaml_args[0] if yaml_args
+                                   else "configs/celebv_text.yaml")
+                run_dir = run_dir or ycfg.get("run_dir")
+                train_name = train_name or ycfg.get("train_name")
+            except Exception as e:  # noqa: BLE001 — best-effort derivation
+                print(f"[elastic] could not read config for watch glob: {e}",
+                      flush=True)
+        run_dir = run_dir or "runs"
         if train_name:
-            args.watch = f"{run_dir}/*{train_name}*.jsonl"
+            args.watch = f"{run_dir}/*{train_name}*"
         else:
             args.watch = f"{run_dir}/**/*.jsonl"
-            print(f"[elastic] WARNING: no train_name override found; "
+            print(f"[elastic] WARNING: no train_name found; "
                   f"watching {args.watch} — concurrent runs in the same "
                   f"run_dir can mask a hang (pass --watch to pin)",
                   flush=True)
@@ -94,6 +112,7 @@ def main() -> int:
                     child.wait(timeout=60)
                 except subprocess.TimeoutExpired:
                     child.kill()
+                    child.wait()  # reap: no zombie, real returncode
                 hung = True
                 break
         rc = child.returncode

@@ -50,7 +50,8 @@ def main() -> None:
 
     tokens = jnp.asarray(tokenize([prompt]))
     text_enc = CLIPTextEncoder(CLIPTextConfig(embed_dim=cfg["dim"]))
-    k_text, k_gen = jax.random.split(rng)
+    # independent keys: prior init vs the generation noise stream
+    k_text, k_init, k_gen = jax.random.split(rng, 3)
     openai = cfg["clip"].get("openai_ckpt")
     if openai:
         from dalle2_video_tpu.models.clip_text import load_openai_clip_text_params
@@ -70,7 +71,7 @@ def main() -> None:
             sample_timesteps=pc["sample_timesteps"],
         )
     )
-    prior_params = prior.init_params(k_gen)
+    prior_params = prior.init_params(k_init)
     from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
     prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"
     if has_checkpoint(str(prior_ckpt)):

@@ -92,10 +92,13 @@ def main() -> None:
         ),
     )
 
+    # key hygiene: independent keys for ViViT init, text-tower init, and
+    # the training dropout stream (one shared key correlates the draws)
     rng = jax.random.PRNGKey(cfg["seed"])
+    k_vivit, k_text, rng = jax.random.split(rng, 3)
     sample = next(iter(train_loader))
     videos0 = jnp.asarray(sample["videos"])
-    state = trainer.init_state(rng, videos0[:1])
+    state = trainer.init_state(k_vivit, videos0[:1])
     if cfg.get("torch_vivit_ckpt"):
         # warm-start from a reference torch video_encoder_{last,best}.pt
         # (fresh optimizer state; import proven in tests/test_torch_import.py)
@@ -111,7 +114,7 @@ def main() -> None:
             ),
         )
         log.info("warm-started ViViT from %s", cfg["torch_vivit_ckpt"])
-    text_params = trainer.init_text_params(rng, cfg["clip"].get("openai_ckpt"))
+    text_params = trainer.init_text_params(k_text, cfg["clip"].get("openai_ckpt"))
     if cfg["clip"].get("openai_ckpt") is None:
         log.warning("no OpenAI CLIP ckpt given — text tower is randomly initialized")
 
@@ -126,8 +129,14 @@ def main() -> None:
         str(ckpt_dir), max_to_keep=int(cfg.get("ckpt_keep", 3)),
         best_k=1, metric_key="val_loss",
     )
+    start_epoch = 0
+    if bool(cfg.get("resume", False)) and ckpt_mgr.latest_step() is not None:
+        state = ckpt_mgr.restore_latest(state)
+        start_epoch = int(state.step) // max(len(train_loader), 1)
+        log.info("resumed clip from step %d (epoch %d)",
+                 int(state.step), start_epoch)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         # epoch-MEAN metrics (reference logs epoch means, train_clip.py:172-191)
         train_metrics = []
         for batch in train_loader:
@@ -138,6 +147,7 @@ def main() -> None:
                 k_drop,  # dropout rng (inert when dropout is 0)
             )
             train_metrics.append(metrics)  # on device; one sync per epoch
+            mlog.heartbeat()
         if train_metrics:
             mlog.log(
                 {f"train/{k}": float(jnp.mean(jnp.stack(

@@ -89,7 +89,7 @@ def build_trainer(cfg, decoder):
 
 def main() -> None:
     from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset, split_indices
-    from dalle2_video_tpu.parallel import create_mesh, shard_batch
+    from dalle2_video_tpu.parallel import create_mesh, shard_batch, shard_with
     from dalle2_video_tpu.parallel.sharded import make_sharded_train_step, shard_state
     from dalle2_video_tpu.utils import MetricsLogger, config_from_argv
 
@@ -263,15 +263,20 @@ def main() -> None:
                 vids = jnp.stack([jnp.asarray(b["videos"]) for b in pending])
                 embs = jnp.stack([jnp.asarray(b["video_embeds"]) for b in pending])
                 pending.clear()
-                # (K, B, ...): batch axis 1 on 'data'
-                vid = jax.device_put(vids, scan_sh)
-                emb = jax.device_put(embs, scan_sh)
+                # (K, B, ...): batch axis 1 on 'data' (multihost-aware)
+                vid, emb = shard_with(mesh, scan_sh, (vids, embs))
                 for u in (1, 2):
                     key, k = jax.random.split(key)
                     state, losses_k = scan_steps[u](state, k, vid, emb)
                     train_sums[u].append(losses_k)  # (K,) stays on device
-            # tail batches (< K) go through the single-step path
+                mlog.heartbeat()
+            # tail batches (< K) go through the single-step path — but NOT
+            # on preemption: the single-step programs may be uncompiled in
+            # a scan-mode run (3-20 min remote compile) and would spend the
+            # eviction grace period before emergency_save below
             for batch in pending:
+                if guard.preempted:
+                    break
                 vid, emb = shard_batch(
                     mesh,
                     (jnp.asarray(batch["videos"]), jnp.asarray(batch["video_embeds"])),
@@ -297,6 +302,7 @@ def main() -> None:
                     key, k = jax.random.split(key)
                     state, loss = steps[u](state, k, vid, emb)
                     train_sums[u].append(loss)
+                mlog.heartbeat()
         if guard.preempted:
             guard.emergency_save(ckpt_mgr, int(state.steps[0]), state)
             mlog.close()
@@ -318,8 +324,13 @@ def main() -> None:
 
         val_sums = {1: [], 2: []}
         for batch in val_loader:
-            vid = jnp.asarray(batch["videos"])
-            emb = jnp.asarray(batch["video_embeds"])
+            # multihost-aware placement (each host passes its loader shard);
+            # raw process-local arrays next to a mesh-committed state would
+            # fail on a multi-process mesh
+            vid, emb = shard_batch(
+                mesh,
+                (jnp.asarray(batch["videos"]), jnp.asarray(batch["video_embeds"])),
+            )
             for u in (1, 2):
                 key, k = jax.random.split(key)
                 val_sums[u].append(eval_losses[u](state, k, vid, emb))

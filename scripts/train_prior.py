@@ -82,8 +82,18 @@ def main() -> None:
     )
     key = rng
     gstep = 0
+    start_epoch = 0
+    if bool(cfg.get("resume", False)) and ckpt_mgr.latest_step() is not None:
+        restored = ckpt_mgr.restore_latest(
+            {"params": params, "opt_state": opt_state}
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        gstep = int(ckpt_mgr.latest_step())
+        spe = max(len(splits["train"]) // pc["batch_size"], 1)
+        start_epoch = gstep // spe
+        log.info("resumed prior from step %d (epoch %d)", gstep, start_epoch)
 
-    for epoch in range(pc["epochs"]):
+    for epoch in range(start_epoch, pc["epochs"]):
         epoch_losses = []
         for batch in train_loader:
             key, k = jax.random.split(key)
@@ -93,6 +103,7 @@ def main() -> None:
             )
             epoch_losses.append(loss)  # on device; one sync per epoch below
             gstep += 1
+            mlog.heartbeat()
         # epoch-MEAN loss (matches reference epoch-mean logging, not
         # last-batch noise — reference train_clip.py:172-191 pattern)
         if epoch_losses:
@@ -112,9 +123,12 @@ def main() -> None:
             mlog.log({"val/loss": v}, step=gstep)
             metrics = {"val_loss": v}
         # newest checkpoint every epoch; val only gates best/ (reference
-        # saves *_last each epoch)
+        # saves *_last each epoch). FULL training state so resume=true
+        # restores the optimizer too (consumers read just the params via
+        # load_params_subtree, which also accepts the old bare layout)
         if ckpt_mgr.latest_step() != gstep:
-            ckpt_mgr.save(gstep, params, metrics=metrics)
+            ckpt_mgr.save(gstep, {"params": params, "opt_state": opt_state},
+                          metrics=metrics)
         log.info("epoch %d done", epoch)
 
     ckpt_mgr.close()

@@ -73,6 +73,9 @@ def main() -> None:
         base_dim=vq.get("base_dim", 64),
         num_down=vq.get("num_down", 2),
         codebook_size=vq.get("codebook_size", 512),
+        # EMA codebook updates (models/vqvae.ema_codebook_update) — opt-in
+        codebook_ema=bool(vq.get("codebook_ema", False)),
+        ema_decay=float(vq.get("codebook_ema_decay", 0.99)),
     )
     disc = PatchDiscriminator(
         base_dim=vq.get("disc_base_dim", 64),
@@ -102,13 +105,21 @@ def main() -> None:
         best_k=1, metric_key="val_loss",
     )
     gstep = 0
+    start_epoch = 0
+    if bool(cfg.get("resume", False)) and ckpt_mgr.latest_step() is not None:
+        state = ckpt_mgr.restore_latest(state)
+        gstep = int(ckpt_mgr.latest_step())
+        spe = max(len(splits["train"]) // bs, 1)
+        start_epoch = gstep // spe
+        log.info("resumed vqgan from step %d (epoch %d)", gstep, start_epoch)
 
-    for epoch in range(vq.get("epochs", 10)):
+    for epoch in range(start_epoch, vq.get("epochs", 10)):
         epoch_metrics = []
         for batch in train_loader:
             state, metrics = step(state, jnp.asarray(batch["videos"]))
             gstep += 1
             epoch_metrics.append(metrics)  # on device; one sync per epoch
+            mlog.heartbeat()
         if epoch_metrics:  # epoch-mean logging (not last-batch noise)
             mlog.log(
                 {f"train/{k}": float(jnp.mean(jnp.stack(
@@ -125,9 +136,12 @@ def main() -> None:
                     for k in vals[0]}
             mlog.log(mean, step=gstep)
             metrics = {"val_loss": mean["val/rec_l1"]}
-        # newest checkpoint every epoch; val only gates best/
+        # newest checkpoint every epoch; val only gates best/. FULL
+        # VQGanTrainState (both optimizers, disc, step) so resume=true
+        # continues training; consumers wanting just the VAE read
+        # state.vae_params from the restored tree
         if ckpt_mgr.latest_step() != gstep:
-            ckpt_mgr.save(gstep, state.vae_params, metrics=metrics)
+            ckpt_mgr.save(gstep, state, metrics=metrics)
         log.info("epoch %d done (val rec_l1 %.4f)", epoch,
                  mean["val/rec_l1"] if vals else float("nan"))
 
