@@ -74,14 +74,12 @@ class DALLE2Video:
         )
 
         if self.temporal_emb:
-            # per-frame embeds -> one decoder conditioning embed (temporal
-            # mean). The reference passes the raw (b, d, t) stack into a
-            # decoder whose embed conditioning is silently inert (its quirk
-            # #1, SURVEY §2e.1); here the conditioning is ACTIVE, and the
-            # unet consumes a single (b, d) embed — pooling keeps the mode
-            # working end to end. Per-frame token conditioning is a
-            # possible extension (one cond token per frame).
-            video_embed = video_embed.reshape(b, t, d).mean(axis=1)
+            # per-frame embeds -> (b, t, d): UNet3D consumes one
+            # conditioning token PER FRAME EMBED (cross-attention over t
+            # tokens; the add-to-time path uses their mean) — information-
+            # preserving, beyond the reference whose embed conditioning is
+            # silently inert (its quirk #1, SURVEY §2e.1).
+            video_embed = video_embed.reshape(b, t, d)
 
         text_enc = text_encodings if self.decoder_need_text_cond else None
         return self.decoder.sample(

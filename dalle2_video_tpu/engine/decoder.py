@@ -291,10 +291,13 @@ class VideoDecoder:
     # ------------------------------------------------------------------ #
     # params
     # ------------------------------------------------------------------ #
-    def init_params(self, rng: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
+    def init_params(self, rng: jax.Array, batch_size: int = 1,
+                    per_frame_embeds: bool = False) -> Dict[str, Any]:
         """Initialize all unet (and VAE) params. Tiny dummy shapes: UNet3D is
         fully convolutional + token attention, so params are shape-agnostic
-        in (T, H, W)."""
+        in (T, H, W). ``per_frame_embeds=True`` initializes the per-frame
+        token conditioning path ((b, k, d) video embeds — DALLE2Video
+        temporal_emb mode) instead of the single-embed path."""
         cfg = self.config
         params: Dict[str, Any] = {}
         keys = jax.random.split(rng, 2 * cfg.num_unets)
@@ -306,7 +309,11 @@ class VideoDecoder:
             time = jnp.zeros((batch_size,), jnp.int32)
             kwargs: Dict[str, Any] = {}
             if ucfg.cond_on_video_embeds:
-                kwargs["video_embed"] = jnp.zeros((batch_size, ucfg.video_embed_dim))
+                emb_shape = (
+                    (batch_size, 2, ucfg.video_embed_dim)
+                    if per_frame_embeds else (batch_size, ucfg.video_embed_dim)
+                )
+                kwargs["video_embed"] = jnp.zeros(emb_shape)
             if ucfg.lowres_cond:
                 kwargs["lowres_cond_video"] = jnp.zeros_like(x)
             if ucfg.lowres_noise_cond:

@@ -253,11 +253,18 @@ class UNet3D(nn.Module):
 
         # --- CLIP video embedding conditioning (reference :359-372, :784-809;
         #     quirk #1 fixed: tokens path active) -------------------------- #
+        # video_embed is (b, d) — the reference's single global embed — or
+        # (b, k, d): k PER-FRAME embeds (DALLE2Video temporal_emb mode).
+        # Per-frame embeds become one conditioning token EACH (information-
+        # preserving, beyond the reference whose embed conditioning is
+        # inert — SURVEY §2e.1); the add-to-time path uses their mean.
         video_tokens = None
         if cfg.cond_on_video_embeds:
             assert video_embed is not None, "video_embed required"
+            per_frame = video_embed.ndim == 3
             if cfg.add_video_embeds_to_time:
-                vh = nn.Dense(time_cond_dim, kernel_init=torch_kernel_init, name="to_video_hiddens")(video_embed)
+                ve_global = video_embed.mean(axis=1) if per_frame else video_embed
+                vh = nn.Dense(time_cond_dim, kernel_init=torch_kernel_init, name="to_video_hiddens")(ve_global)
                 vh = nn.gelu(vh, approximate=False)
                 null_vh = self.param(
                     "null_video_hiddens", nn.initializers.normal(1.0), (1, time_cond_dim)
@@ -265,22 +272,43 @@ class UNet3D(nn.Module):
                 vh = jnp.where(video_keep_mask[:, None], vh, null_vh)
                 t = t + vh
 
-            if cfg.video_embed_dim is not None and cfg.video_embed_dim != cond_dim:
+            if per_frame:
+                # one cond token per frame embed: (b, k, d) -> (b, k, cond).
+                # Cross-attention is permutation-invariant over kv tokens,
+                # so add a sinusoidal position over the frame axis — frame
+                # ORDER is part of the conditioning, not just the set.
                 vt = nn.Dense(
-                    cond_dim * cfg.num_video_tokens,
-                    kernel_init=torch_kernel_init,
-                    name="video_to_tokens",
-                )(video_embed).reshape(b, cfg.num_video_tokens, cond_dim)
+                    cond_dim, kernel_init=torch_kernel_init,
+                    name="video_frame_to_token",
+                )(video_embed)
+                k_frames = video_embed.shape[1]
+                frame_pos = SinusoidalPosEmb(cond_dim)(
+                    jnp.arange(k_frames, dtype=jnp.float32)
+                )  # (k, cond_dim)
+                vt = vt + frame_pos[None].astype(vt.dtype)
+                null_vt = self.param(
+                    "null_video_frame_token",
+                    nn.initializers.normal(1.0),
+                    (1, 1, cond_dim),
+                )  # one learned null broadcast over the frame axis
+                null_vt = jnp.broadcast_to(null_vt, vt.shape)
             else:
-                # identity path: broadcast the embed over the token axis
-                vt = jnp.broadcast_to(
-                    video_embed[:, None, :], (b, cfg.num_video_tokens, cond_dim)
+                if cfg.video_embed_dim is not None and cfg.video_embed_dim != cond_dim:
+                    vt = nn.Dense(
+                        cond_dim * cfg.num_video_tokens,
+                        kernel_init=torch_kernel_init,
+                        name="video_to_tokens",
+                    )(video_embed).reshape(b, cfg.num_video_tokens, cond_dim)
+                else:
+                    # identity path: broadcast the embed over the token axis
+                    vt = jnp.broadcast_to(
+                        video_embed[:, None, :], (b, cfg.num_video_tokens, cond_dim)
+                    )
+                null_vt = self.param(
+                    "null_video_embed",
+                    nn.initializers.normal(1.0),
+                    (1, cfg.num_video_tokens, cond_dim),
                 )
-            null_vt = self.param(
-                "null_video_embed",
-                nn.initializers.normal(1.0),
-                (1, cfg.num_video_tokens, cond_dim),
-            )
             video_tokens = jnp.where(video_keep_mask[:, None, None], vt, null_vt)
 
         # --- text encodings conditioning (reference :815-848) ------------ #

@@ -279,8 +279,8 @@ def test_dalle2video_generate_per_row_keys(prior):
 
 def test_dalle2video_temporal_emb_mode(prior):
     """temporal_emb: (b, d, t) per-frame text embeds flatten through the
-    prior (with per-frame best-of-N) and pool to one ACTIVE decoder
-    conditioning embed (the reference's embed conditioning was inert —
+    prior (with per-frame best-of-N) and condition the decoder with one
+    token PER FRAME EMBED (the reference's embed conditioning was inert —
     SURVEY §2e.1 — so its raw (b,d,t) passthrough never executed)."""
     from dalle2_video_tpu.engine.dalle2video import DALLE2Video
     from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
@@ -298,7 +298,7 @@ def test_dalle2video_temporal_emb_mode(prior):
             timesteps=10, learned_variance=False,
         )
     )
-    dec_params = dec.init_params(jax.random.PRNGKey(0))
+    dec_params = dec.init_params(jax.random.PRNGKey(0), per_frame_embeds=True)
     wrapper = DALLE2Video(p, dec, temporal_emb=True)
     te = jax.random.normal(jax.random.PRNGKey(1), (2, D, 3))  # (b, d, t)
     vid = wrapper.generate(

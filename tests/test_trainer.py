@@ -619,3 +619,33 @@ def test_checkpoint_version_stamp_preserved_by_readers():
         vfile.write_text("0.0-old-writer")  # simulate an old writer
         RollingCheckpointManager(d, max_to_keep=1)  # a reader constructs one
         assert vfile.read_text().strip() == "0.0-old-writer"
+
+
+def test_make_sharded_sample_stage_matches_single_device(mesh8):
+    """Stage sampler jitted with batch-data sharding returns the
+    single-device samples (per-row keys make rows key-pure)."""
+    import jax.numpy as jnp
+
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+    from dalle2_video_tpu.parallel.sharded import make_sharded_sample_stage
+    from dalle2_video_tpu.utils import keys as keyutil
+
+    u = UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=16,
+        init_cross_embed=False, init_conv_ksize=3,
+    )
+    dec = VideoDecoder(VideoDecoderConfig(
+        unets=(u,), frame_sizes=(8,), frame_numbers=(2,),
+        timesteps=6, sample_timesteps=(3,),
+    ))
+    params = dec.init_params(jax.random.PRNGKey(0))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+    ks = keyutil.batch_keys(list(range(8)))
+
+    ref = np.asarray(dec.sample_stage(
+        0, params, ks, batch_size=8, video_embed=emb))
+    fn = make_sharded_sample_stage(dec, mesh8, 0)
+    got = np.asarray(fn(params, ks, emb, jnp.zeros((8, 2, 4, 4, 3))))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -266,3 +266,38 @@ def test_joint_attention_auto_impl():
     np.testing.assert_array_equal(
         np.asarray(auto.apply(p, x)), np.asarray(xla.apply(p, x))
     )
+
+
+def test_per_frame_embed_tokens_condition_and_carry_order():
+    """(b, k, d) video embeds: one conditioning token per frame embed with
+    a frame-position signal — both the CONTENT and the ORDER of the
+    per-frame embeds change the output (DALLE2Video temporal_emb mode)."""
+    cfg = UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=16,
+        init_cross_embed=False, init_conv_ksize=3,
+        cond_on_video_embeds=True,
+    )
+    unet = UNet3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 8, 8, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 16))  # k=3 frames
+    params = unet.init(jax.random.PRNGKey(2), x, t, video_embed=emb)
+    # perturb: zero-init out conv makes untrained outputs identically zero
+    rng = np.random.RandomState(0)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * rng.standard_normal(p.shape).astype(p.dtype),
+        params,
+    )
+
+    out = unet.apply(params, x, t, video_embed=emb)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # content matters
+    out2 = unet.apply(params, x, t, video_embed=emb + 1.0)
+    assert float(np.abs(np.asarray(out2) - np.asarray(out)).max()) > 1e-6
+
+    # ORDER matters (sinusoidal frame positions break the permutation
+    # invariance of cross-attention over the token set)
+    out3 = unet.apply(params, x, t, video_embed=emb[:, ::-1])
+    assert float(np.abs(np.asarray(out3) - np.asarray(out)).max()) > 1e-6
