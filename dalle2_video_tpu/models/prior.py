@@ -78,21 +78,54 @@ class RelPosBias(nn.Module):
         rel = k_pos - q_pos  # <=0 in the causal region
         # causal bucketing: -rel in [0, inf); half the buckets are exact,
         # the rest log-spaced up to max_distance
-        rel = -jnp.clip(rel, a_max=0)
+        rel = -jnp.clip(rel, max=0)
         exact = self.num_buckets // 2
         is_small = rel < exact
         log_ratio = jnp.log(rel.astype(jnp.float32) / exact + 1e-6) / jnp.log(
             self.max_distance / exact
         )
         large = exact + (log_ratio * (self.num_buckets - exact)).astype(jnp.int32)
-        large = jnp.clip(large, a_max=self.num_buckets - 1)
+        large = jnp.clip(large, max=self.num_buckets - 1)
         buckets = jnp.where(is_small, rel, large)
         return table[buckets].transpose(2, 0, 1)  # (heads, n, n)
 
 
+class CausalTransformerLayer(nn.Module):
+    """One attention + feed-forward layer — the uniform unit CausalTransformer
+    scans (``scan_layers=True``) or pipelines (``pipeline_microbatches>0``,
+    parallel/pipeline.py). Signature follows nn.scan's (carry, *broadcast)
+    contract: returns (x, None)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    rotary: bool = True
+    swiglu_ff: bool = True
+
+    @nn.compact
+    def __call__(self, x, bias):
+        x = x + Attention(
+            self.dim, heads=self.heads, dim_head=self.dim_head,
+            causal=True, rotary=self.rotary, name="attn",
+        )(x, attn_bias=bias)
+        x = _FF(self.dim, swiglu=self.swiglu_ff, name="ff")(x)
+        return x, None
+
+
 class CausalTransformer(nn.Module):
     """Pre-norm causal transformer (dalle2-pytorch CausalTransformer shape:
-    rotary embedding + T5 rel-pos bias + swish-GLU FF by default)."""
+    rotary embedding + T5 rel-pos bias + swish-GLU FF by default).
+
+    ``scan_layers=True`` stores the depth as ONE stacked "layers" subtree
+    (every leaf gains a leading (depth,) axis — the nn.scan layout); the
+    legacy per-name layout converts losslessly either way via
+    parallel/pipeline.py's {stack,unstack}_transformer_params.
+
+    ``pipeline_microbatches > 0`` (requires scan_layers) pipelines the stack
+    over the active mesh's 'model' axis — GPipe fill-drain inside one SPMD
+    program (parallel/pipeline.py). Mesh discovery follows the house style
+    (parallel.mesh.active_mesh, same as sequence-parallel attention); off
+    the mesh (or model axis = 1) it falls back to the local scan."""
 
     dim: int
     depth: int
@@ -101,18 +134,67 @@ class CausalTransformer(nn.Module):
     rotary: bool = True
     rel_pos_bias: bool = True
     swiglu_ff: bool = True
+    scan_layers: bool = False
+    pipeline_microbatches: int = 0
 
     @nn.compact
     def __call__(self, x):
         n = x.shape[1]
         bias = RelPosBias(self.heads, name="rel_pos_bias")(n) if self.rel_pos_bias else None
-        for i in range(self.depth):
-            x = x + Attention(
-                self.dim, heads=self.heads, dim_head=self.dim_head,
-                causal=True, rotary=self.rotary, name=f"attn{i}",
-            )(x, attn_bias=bias)
-            x = _FF(self.dim, swiglu=self.swiglu_ff, name=f"ff{i}")(x)
+        if self.scan_layers:
+            x = self._apply_stacked(x, bias)
+        else:
+            for i in range(self.depth):
+                x = x + Attention(
+                    self.dim, heads=self.heads, dim_head=self.dim_head,
+                    causal=True, rotary=self.rotary, name=f"attn{i}",
+                )(x, attn_bias=bias)
+                x = _FF(self.dim, swiglu=self.swiglu_ff, name=f"ff{i}")(x)
         return nn.LayerNorm(name="final_norm")(x)
+
+    def _apply_stacked(self, x, bias):
+        from dalle2_video_tpu.parallel.mesh import MODEL_AXIS, get_active_mesh
+
+        scanned = nn.scan(
+            CausalTransformerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+            in_axes=(nn.broadcast,),
+        )(
+            self.dim, self.heads, self.dim_head,
+            rotary=self.rotary, swiglu_ff=self.swiglu_ff, name="layers",
+        )
+        mesh = get_active_mesh()
+        use_pipe = (
+            self.pipeline_microbatches > 0
+            and mesh is not None
+            and mesh.shape.get(MODEL_AXIS, 1) > 1
+            and not self.is_initializing()
+        )
+        if not use_pipe:
+            x, _ = scanned(x, bias)
+            return x
+        # pipeline path: read the stacked params this module already owns
+        # and stream microbatches through the mesh's model axis
+        from dalle2_video_tpu.parallel.pipeline import pipeline_apply
+
+        layer_params = self.variables["params"]["layers"]
+        layer = CausalTransformerLayer(
+            self.dim, self.heads, self.dim_head,
+            rotary=self.rotary, swiglu_ff=self.swiglu_ff,
+        )
+        if bias is None:
+            fn = lambda p, xb: layer.apply({"params": p}, xb, None)[0]
+            bcast = ()
+        else:
+            fn = lambda p, xb, bb: layer.apply({"params": p}, xb, bb)[0]
+            bcast = (bias,)
+        return pipeline_apply(
+            fn, layer_params, x, mesh,
+            microbatches=self.pipeline_microbatches,
+            axis=MODEL_AXIS, broadcast_args=bcast,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +212,11 @@ class PriorNetworkConfig:
     rotary_emb: bool = True
     rel_pos_bias: bool = True
     swiglu_ff: bool = True
+    # pipeline parallelism (parallel/pipeline.py): scan_layers stacks the
+    # depth into one (depth, ...) params subtree; pipeline_microbatches>0
+    # streams that stack over the mesh's 'model' axis as a GPipe pipeline
+    scan_layers: bool = False
+    pipeline_microbatches: int = 0
 
 
 class DiffusionPriorNetwork(nn.Module):
@@ -200,7 +287,9 @@ class DiffusionPriorNetwork(nn.Module):
         out = CausalTransformer(
             d, cfg.depth, cfg.heads, cfg.dim_head,
             rotary=cfg.rotary_emb, rel_pos_bias=cfg.rel_pos_bias,
-            swiglu_ff=cfg.swiglu_ff, name="transformer",
+            swiglu_ff=cfg.swiglu_ff, scan_layers=cfg.scan_layers,
+            pipeline_microbatches=cfg.pipeline_microbatches,
+            name="transformer",
         )(seq)
         return out[:, -1]  # prediction read from the learned-query position
 

@@ -7,6 +7,11 @@ from dalle2_video_tpu.parallel.mesh import (
     shard_batch,
     shard_with,
 )
+from dalle2_video_tpu.parallel.pipeline import (
+    pipeline_apply,
+    stack_transformer_params,
+    unstack_transformer_params,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -16,4 +21,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_with",
+    "pipeline_apply",
+    "stack_transformer_params",
+    "unstack_transformer_params",
 ]

@@ -48,11 +48,18 @@ def main() -> None:
                                seed=cfg["seed"])
     val_loader = BatchLoader(ds, pc["batch_size"], splits["val"], shuffle=False)
 
+    # pipeline parallelism (parallel/pipeline.py): pipeline_microbatches>0
+    # pipelines the transformer stack over the mesh's 'model' axis
+    # (pipeline_stages devices per pipe; requires the scan_layers param
+    # layout, which it implies)
+    pipe_mb = int(pc.get("pipeline_microbatches", 0))
     prior = DiffusionPrior(
         DiffusionPriorConfig(
             network=PriorNetworkConfig(
                 dim=cfg["dim"], depth=pc["depth"], heads=pc["heads"],
                 dim_head=pc["dim_head"],
+                scan_layers=bool(pc.get("scan_layers", False)) or pipe_mb > 0,
+                pipeline_microbatches=pipe_mb,
             ),
             timesteps=pc["timesteps"],
             sample_timesteps=pc["sample_timesteps"],
@@ -63,15 +70,38 @@ def main() -> None:
     optimizer = optax.adam(pc["lr"])
     opt_state = optimizer.init(params)
 
+    mesh = None
+    if pipe_mb > 0:
+        from dalle2_video_tpu.parallel.mesh import create_mesh
+        from dalle2_video_tpu.parallel.pipeline import pipeline_sharding_tree
+
+        stages = int(pc.get("pipeline_stages", len(jax.devices())))
+        mesh = create_mesh(model=stages)
+        log.info("pipeline parallelism: %d stages x %d data, %d microbatches",
+                 stages, mesh.shape["data"], pipe_mb)
+        # place each stage's layer shard on its own devices
+        params = jax.tree_util.tree_map(
+            jax.device_put, params, pipeline_sharding_tree(params, mesh))
+        opt_state = jax.tree_util.tree_map(
+            jax.device_put, opt_state, pipeline_sharding_tree(opt_state, mesh))
+
+    def _loss(p, key, ve, te):
+        if mesh is None:
+            return prior.loss(p, key, ve, te)
+        from dalle2_video_tpu.parallel.mesh import active_mesh
+
+        with active_mesh(mesh):  # trace-time mesh discovery (house style)
+            return prior.loss(p, key, ve, te)
+
     @jax.jit
     def step(params, opt_state, key, ve, te):
         loss, grads = jax.value_and_grad(
-            lambda p: prior.loss(p, key, ve, te)
+            lambda p: _loss(p, key, ve, te)
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    eval_loss = jax.jit(lambda p, key, ve, te: prior.loss(p, key, ve, te))
+    eval_loss = jax.jit(lambda p, key, ve, te: _loss(p, key, ve, te))
 
     mlog = MetricsLogger(cfg["run_dir"], f"prior_{cfg['train_name']}",
                          cfg["use_wandb"], cfg)
