@@ -94,13 +94,16 @@ class CausalTransformerLayer(nn.Module):
     """One attention + feed-forward layer — the uniform unit CausalTransformer
     scans (``scan_layers=True``) or pipelines (``pipeline_microbatches>0``,
     parallel/pipeline.py). Signature follows nn.scan's (carry, *broadcast)
-    contract: returns (x, None)."""
+    contract: returns (x, None). ``ff_experts>0`` swaps the dense FF for a
+    top-2 mixture of experts (models/moe.py, expert-parallel over 'model')."""
 
     dim: int
     heads: int
     dim_head: int
     rotary: bool = True
     swiglu_ff: bool = True
+    ff_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x, bias):
@@ -108,7 +111,16 @@ class CausalTransformerLayer(nn.Module):
             self.dim, heads=self.heads, dim_head=self.dim_head,
             causal=True, rotary=self.rotary, name="attn",
         )(x, attn_bias=bias)
-        x = _FF(self.dim, swiglu=self.swiglu_ff, name="ff")(x)
+        if self.ff_experts > 0:
+            from dalle2_video_tpu.models.moe import MoEFF
+
+            x = MoEFF(
+                self.dim, num_experts=self.ff_experts,
+                capacity_factor=self.moe_capacity_factor,
+                swiglu=self.swiglu_ff, name="ff",
+            )(x)
+        else:
+            x = _FF(self.dim, swiglu=self.swiglu_ff, name="ff")(x)
         return x, None
 
 
@@ -136,6 +148,8 @@ class CausalTransformer(nn.Module):
     swiglu_ff: bool = True
     scan_layers: bool = False
     pipeline_microbatches: int = 0
+    ff_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x):
@@ -149,7 +163,16 @@ class CausalTransformer(nn.Module):
                     self.dim, heads=self.heads, dim_head=self.dim_head,
                     causal=True, rotary=self.rotary, name=f"attn{i}",
                 )(x, attn_bias=bias)
-                x = _FF(self.dim, swiglu=self.swiglu_ff, name=f"ff{i}")(x)
+                if self.ff_experts > 0:
+                    from dalle2_video_tpu.models.moe import MoEFF
+
+                    x = MoEFF(
+                        self.dim, num_experts=self.ff_experts,
+                        capacity_factor=self.moe_capacity_factor,
+                        swiglu=self.swiglu_ff, name=f"ff{i}",
+                    )(x)
+                else:
+                    x = _FF(self.dim, swiglu=self.swiglu_ff, name=f"ff{i}")(x)
         return nn.LayerNorm(name="final_norm")(x)
 
     def _apply_stacked(self, x, bias):
@@ -157,13 +180,15 @@ class CausalTransformer(nn.Module):
 
         scanned = nn.scan(
             CausalTransformerLayer,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "losses": 0},
             split_rngs={"params": True},
             length=self.depth,
             in_axes=(nn.broadcast,),
         )(
             self.dim, self.heads, self.dim_head,
-            rotary=self.rotary, swiglu_ff=self.swiglu_ff, name="layers",
+            rotary=self.rotary, swiglu_ff=self.swiglu_ff,
+            ff_experts=self.ff_experts,
+            moe_capacity_factor=self.moe_capacity_factor, name="layers",
         )
         mesh = get_active_mesh()
         use_pipe = (
@@ -183,7 +208,11 @@ class CausalTransformer(nn.Module):
         layer = CausalTransformerLayer(
             self.dim, self.heads, self.dim_head,
             rotary=self.rotary, swiglu_ff=self.swiglu_ff,
-        )
+            ff_experts=self.ff_experts,
+            moe_capacity_factor=self.moe_capacity_factor,
+        )  # NOTE: MoE aux sow is a no-op on this path (losses not mutable
+        # inside the pipeline); MoE and pipelining also both consume the
+        # 'model' axis — prefer one per run (models/moe.py docstring)
         if bias is None:
             fn = lambda p, xb: layer.apply({"params": p}, xb, None)[0]
             bcast = ()
@@ -217,6 +246,12 @@ class PriorNetworkConfig:
     # streams that stack over the mesh's 'model' axis as a GPipe pipeline
     scan_layers: bool = False
     pipeline_microbatches: int = 0
+    # mixture-of-experts FF (models/moe.py): ff_experts>0 swaps each layer's
+    # dense FF for a top-2 MoE; experts shard over 'model' (EP). moe_aux_weight
+    # scales the Switch load-balance loss added by DiffusionPrior.loss.
+    ff_experts: int = 0
+    moe_capacity_factor: float = 2.0
+    moe_aux_weight: float = 1e-2
 
 
 class DiffusionPriorNetwork(nn.Module):
@@ -289,6 +324,8 @@ class DiffusionPriorNetwork(nn.Module):
             rotary=cfg.rotary_emb, rel_pos_bias=cfg.rel_pos_bias,
             swiglu_ff=cfg.swiglu_ff, scan_layers=cfg.scan_layers,
             pipeline_microbatches=cfg.pipeline_microbatches,
+            ff_experts=cfg.ff_experts,
+            moe_capacity_factor=cfg.moe_capacity_factor,
             name="transformer",
         )(seq)
         return out[:, -1]  # prediction read from the learned-query position
@@ -372,16 +409,31 @@ class DiffusionPrior:
             coin = jax.random.bernoulli(k_sc, 0.5)
             self_cond = jax.lax.cond(coin, mk, lambda _: jnp.zeros_like(x0), None)
 
-        pred = self.network.apply(
-            params, x_noisy, times,
-            text_embed=text_embed, text_encodings=text_encodings,
-            text_keep_mask=keep, self_cond=self_cond,
-        )
+        aux = 0.0
+        if cfg.network.ff_experts > 0 and cfg.network.moe_aux_weight > 0:
+            # collect the MoE load-balance loss sown by each layer
+            # (models/moe.py; mean over layers, Switch Transformer eq. 4)
+            pred, sown = self.network.apply(
+                params, x_noisy, times,
+                text_embed=text_embed, text_encodings=text_encodings,
+                text_keep_mask=keep, self_cond=self_cond,
+                mutable=["losses"],
+            )
+            leaves = jax.tree_util.tree_leaves(sown["losses"])
+            aux = cfg.network.moe_aux_weight * jnp.mean(
+                jnp.stack([jnp.mean(l) for l in leaves])
+            )
+        else:
+            pred = self.network.apply(
+                params, x_noisy, times,
+                text_embed=text_embed, text_encodings=text_encodings,
+                text_keep_mask=keep, self_cond=self_cond,
+            )
         if cfg.training_clamp_l2norm:
             pred = l2_normalize(pred) * self.embed_scale
 
         target = x0 if cfg.predict_x_start else noise
-        return jnp.mean(sched.loss_fn(pred, target))
+        return jnp.mean(sched.loss_fn(pred, target)) + aux
 
     # ------------------------------------------------------------------ #
     def _pred_x0(self, params, x, t, cond_scale, text_embed, text_encodings, self_cond):

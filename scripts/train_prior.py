@@ -53,6 +53,11 @@ def main() -> None:
     # (pipeline_stages devices per pipe; requires the scan_layers param
     # layout, which it implies)
     pipe_mb = int(pc.get("pipeline_microbatches", 0))
+    ff_experts = int(pc.get("ff_experts", 0))
+    assert not (pipe_mb > 0 and ff_experts > 0), (
+        "pipeline and expert parallelism both consume the mesh's 'model' "
+        "axis — enable one per run (models/moe.py)"
+    )
     prior = DiffusionPrior(
         DiffusionPriorConfig(
             network=PriorNetworkConfig(
@@ -60,6 +65,9 @@ def main() -> None:
                 dim_head=pc["dim_head"],
                 scan_layers=bool(pc.get("scan_layers", False)) or pipe_mb > 0,
                 pipeline_microbatches=pipe_mb,
+                ff_experts=ff_experts,
+                moe_capacity_factor=float(pc.get("moe_capacity_factor", 2.0)),
+                moe_aux_weight=float(pc.get("moe_aux_weight", 1e-2)),
             ),
             timesteps=pc["timesteps"],
             sample_timesteps=pc["sample_timesteps"],
@@ -84,6 +92,18 @@ def main() -> None:
             jax.device_put, params, pipeline_sharding_tree(params, mesh))
         opt_state = jax.tree_util.tree_map(
             jax.device_put, opt_state, pipeline_sharding_tree(opt_state, mesh))
+    elif ff_experts > 0:
+        from dalle2_video_tpu.models.moe import moe_sharding_tree
+        from dalle2_video_tpu.parallel.mesh import create_mesh
+
+        ep = int(pc.get("expert_parallel", len(jax.devices())))
+        mesh = create_mesh(model=ep)
+        log.info("expert parallelism: %d experts over %d-way 'model' axis",
+                 ff_experts, ep)
+        params = jax.tree_util.tree_map(
+            jax.device_put, params, moe_sharding_tree(params, mesh))
+        opt_state = jax.tree_util.tree_map(
+            jax.device_put, opt_state, moe_sharding_tree(opt_state, mesh))
 
     def _loss(p, key, ve, te):
         if mesh is None:
