@@ -45,6 +45,7 @@ def _flash_mqa_kernel(
     *refs,
     d: int,
     save_lse: bool = False,
+    use_exp2: bool = False,
 ):
     # Fused softmax denominator (r3): v is extended with d extra columns
     # that are 1 for real kv rows and 0 for padded rows, so the p @ v_ext
@@ -81,8 +82,13 @@ def _flash_mqa_kernel(
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
 
-    p = jnp.exp(s - m_next)  # (BLOCK_Q, BLOCK_K)
-    alpha = jnp.exp(m_prev - m_next)
+    # use_exp2: q was pre-scaled by an extra log2(e), so s/m live in the
+    # base-2 logit domain and the softmax weights are exp2(s - m) — the VPU
+    # skips exp's internal x*log2(e) multiply on every sim element
+    # (exp(x) == exp2(x * log2(e)); docs/PERF.md r3 fwd diet #2)
+    expf = jnp.exp2 if use_exp2 else jnp.exp
+    p = expf(s - m_next)  # (BLOCK_Q, BLOCK_K)
+    alpha = expf(m_prev - m_next)
 
     # alpha rescale covers the l columns too — they ARE accumulator state
     acc = acc_scratch[:] * alpha + jax.lax.dot_general(
@@ -103,8 +109,13 @@ def _flash_mqa_kernel(
         if save_lse:
             # logsumexp of the REAL columns (v_ext zeroed padded ones):
             # exp(s_i - lse) are the exact softmax probabilities — the bwd
-            # kernels recompute P tiles from this row statistic
-            lse_ref[0] = (m_scratch[:] + jnp.log(a[:, d:]))[:, :1]
+            # kernels recompute P tiles from this row statistic. Emitted in
+            # the NATURAL-log domain either way (m * ln2 converts base-2
+            # running max back), so the backward kernels never change.
+            m = m_scratch[:]
+            if use_exp2:
+                m = m * 0.6931471805599453  # ln 2
+            lse_ref[0] = (m + jnp.log(a[:, d:]))[:, :1]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -411,7 +422,9 @@ def flash_mqa(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_q", "block_k", "interpret", "save_lse"),
+    static_argnames=(
+        "sm_scale", "block_q", "block_k", "interpret", "save_lse", "use_exp2",
+    ),
 )
 def _flash_mqa_fwd_only(
     q: jnp.ndarray,  # (b, n_q, d)   n_q = q_heads * seq (heads folded in)
@@ -423,6 +436,7 @@ def _flash_mqa_fwd_only(
     block_k: int = 1024,
     interpret: bool = False,
     save_lse: bool = False,
+    use_exp2: bool = False,
 ) -> jnp.ndarray:
     """Streaming softmax(q k^T * scale) v with one shared kv head.
     (block_k default applies when called directly; flash_mqa/mqa_attention
@@ -436,8 +450,10 @@ def _flash_mqa_fwd_only(
     _, n_kv, _ = k.shape
 
     # fold the softmax scale into q once (one (n_q, d) mul) instead of
-    # scaling every (block_q, block_k) sim tile inside the kernel
-    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    # scaling every (block_q, block_k) sim tile inside the kernel;
+    # use_exp2 additionally folds log2(e) so the kernel runs base-2 softmax
+    scale = sm_scale * (1.4426950408889634 if use_exp2 else 1.0)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     n_q_pad = _round_up(n_q, block_q)
     n_kv_pad = _round_up(n_kv, block_k)
@@ -483,7 +499,9 @@ def _flash_mqa_fwd_only(
         out_shape.append(jax.ShapeDtypeStruct((b, n_q_pad, 1), jnp.float32))
 
     res = pl.pallas_call(
-        functools.partial(_flash_mqa_kernel, d=d, save_lse=save_lse),
+        functools.partial(
+            _flash_mqa_kernel, d=d, save_lse=save_lse, use_exp2=use_exp2
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if save_lse else out_specs[0],

@@ -29,6 +29,31 @@ def test_flash_mqa_matches_xla(n, m):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
 
 
+def test_flash_mqa_exp2_matches_exp():
+    """Base-2 online softmax (use_exp2: log2(e) folded into the q prescale,
+    exp2 inside the kernel) is exact — output AND the natural-domain lse the
+    backward kernels consume (probe10)."""
+    from dalle2_video_tpu.ops.pallas.flash_mqa import _flash_mqa_fwd_only
+
+    d = 32
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (2, 200, d))
+    k = jax.random.normal(kk, (2, 130, d))
+    v = jax.random.normal(kv, (2, 130, d))
+    scale = d**-0.5
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    expected = jax.nn.softmax(s, axis=-1) @ v
+    lse_ref = jax.scipy.special.logsumexp(s, axis=-1)
+    got, lse = _flash_mqa_fwd_only(
+        q, k, v, sm_scale=scale, block_q=64, block_k=64, interpret=True,
+        save_lse=True, use_exp2=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(lse[..., 0]), np.asarray(lse_ref), atol=2e-5
+    )
+
+
 def test_mqa_attention_heads_fold():
     b, n, h, d, m = 2, 40, 4, 16, 50
     keys = jax.random.split(jax.random.PRNGKey(1), 3)
