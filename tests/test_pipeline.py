@@ -219,6 +219,30 @@ def test_pipeline_sharding_tree_places_layer_shards(pipe_mesh):
         assert n_pipe > 0
 
 
+def test_pipelined_prior_sampling_matches_local(pipe_mesh):
+    """DDIM sampling (network apply inside lax.scan) produces identical
+    embeds with the transformer pipelined — the serving/inference path."""
+    from dalle2_video_tpu.models.prior import DiffusionPrior, DiffusionPriorConfig
+
+    cfg_local = DiffusionPriorConfig(
+        network=_prior_cfg(scan_layers=True), timesteps=20, sample_timesteps=4,
+    )
+    cfg_pipe = DiffusionPriorConfig(
+        network=_prior_cfg(scan_layers=True, pipeline_microbatches=2),
+        timesteps=20, sample_timesteps=4,
+    )
+    p_local = DiffusionPrior(cfg_local)
+    p_pipe = DiffusionPrior(cfg_pipe)
+    params = p_local.init_params(jax.random.PRNGKey(20))
+    te = jax.random.normal(jax.random.PRNGKey(21), (4, 16))
+    rng = jax.random.PRNGKey(22)
+
+    ref = p_local.sample_loop(params, rng, te)
+    with active_mesh(pipe_mesh):
+        out = p_pipe.sample_loop(params, rng, te)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_off_mesh_falls_back_to_scan():
     """pipeline_microbatches set but no active mesh: the scanned local path
     runs (trainability without a mesh, e.g. unit tests / CPU debugging)."""
