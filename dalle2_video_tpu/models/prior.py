@@ -345,6 +345,31 @@ class DiffusionPriorConfig:
     training_clamp_l2norm: bool = False
 
 
+def prior_from_config(cfg: Dict[str, Any]) -> "DiffusionPrior":
+    """Build the prior from the single-plane YAML config (the `prior:` block
+    plus the global `dim`). ONE factory for every consumer — trainer,
+    sampler, server — so layout-affecting knobs (scan_layers, ff_experts)
+    always match the checkpoint they produced. pipeline_microbatches is
+    runtime-only but implies the scan_layers layout."""
+    pc = cfg["prior"]
+    pipe_mb = int(pc.get("pipeline_microbatches", 0))
+    return DiffusionPrior(
+        DiffusionPriorConfig(
+            network=PriorNetworkConfig(
+                dim=cfg["dim"], depth=pc["depth"], heads=pc["heads"],
+                dim_head=pc["dim_head"],
+                scan_layers=bool(pc.get("scan_layers", False)) or pipe_mb > 0,
+                pipeline_microbatches=pipe_mb,
+                ff_experts=int(pc.get("ff_experts", 0)),
+                moe_capacity_factor=float(pc.get("moe_capacity_factor", 2.0)),
+                moe_aux_weight=float(pc.get("moe_aux_weight", 1e-2)),
+            ),
+            timesteps=pc["timesteps"],
+            sample_timesteps=pc["sample_timesteps"],
+        )
+    )
+
+
 class DiffusionPrior:
     """Engine: loss + ancestral/DDIM sampling + best-of-N reranking."""
 

@@ -25,11 +25,7 @@ def main() -> None:
     from dalle2_video_tpu.data.tokenizer import tokenize
     from dalle2_video_tpu.engine.dalle2video import DALLE2Video
     from dalle2_video_tpu.models.clip_text import CLIPTextEncoder
-    from dalle2_video_tpu.models.prior import (
-        DiffusionPrior,
-        DiffusionPriorConfig,
-        PriorNetworkConfig,
-    )
+    from dalle2_video_tpu.models.prior import prior_from_config
     from dalle2_video_tpu.utils import config_from_argv
     from scripts.train_decoder import build_decoder, build_trainer
 
@@ -62,15 +58,9 @@ def main() -> None:
         text_params = text_enc.init(k_text, tokens)
     text_embed = text_enc.apply(text_params, tokens)
 
-    pc = cfg["prior"]
-    prior = DiffusionPrior(
-        DiffusionPriorConfig(
-            network=PriorNetworkConfig(dim=cfg["dim"], depth=pc["depth"],
-                                       heads=pc["heads"], dim_head=pc["dim_head"]),
-            timesteps=pc["timesteps"],
-            sample_timesteps=pc["sample_timesteps"],
-        )
-    )
+    # ONE factory shared with train_prior/serve so layout-affecting knobs
+    # (scan_layers, ff_experts) always match the checkpoint
+    prior = prior_from_config(cfg)
     prior_params = prior.init_params(k_init)
     from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
     prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"

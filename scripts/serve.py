@@ -34,11 +34,7 @@ def build_generate_batch(cfg, log):
         CLIPTextConfig,
         CLIPTextEncoder,
     )
-    from dalle2_video_tpu.models.prior import (
-        DiffusionPrior,
-        DiffusionPriorConfig,
-        PriorNetworkConfig,
-    )
+    from dalle2_video_tpu.models.prior import prior_from_config
     from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
     from scripts.train_decoder import build_decoder, build_trainer
 
@@ -56,15 +52,9 @@ def build_generate_batch(cfg, log):
         log.warning("no OpenAI ckpt — random text tower (smoke mode)")
         text_params = text_enc.init(k_text, probe_tokens)
 
-    pc = cfg["prior"]
-    prior = DiffusionPrior(
-        DiffusionPriorConfig(
-            network=PriorNetworkConfig(dim=cfg["dim"], depth=pc["depth"],
-                                       heads=pc["heads"], dim_head=pc["dim_head"]),
-            timesteps=pc["timesteps"],
-            sample_timesteps=pc["sample_timesteps"],
-        )
-    )
+    # ONE factory shared with train_prior/sample so layout-affecting knobs
+    # (scan_layers, ff_experts) always match the checkpoint
+    prior = prior_from_config(cfg)
     prior_params = prior.init_params(k_init)
     prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"
     if has_checkpoint(str(prior_ckpt)):

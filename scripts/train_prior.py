@@ -23,11 +23,7 @@ import optax
 
 def main() -> None:
     from dalle2_video_tpu.data import BatchLoader, CelebVTextDataset, split_indices
-    from dalle2_video_tpu.models.prior import (
-        DiffusionPrior,
-        DiffusionPriorConfig,
-        PriorNetworkConfig,
-    )
+    from dalle2_video_tpu.models.prior import prior_from_config
     from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
     from dalle2_video_tpu.utils import MetricsLogger, config_from_argv
 
@@ -58,21 +54,7 @@ def main() -> None:
         "pipeline and expert parallelism both consume the mesh's 'model' "
         "axis — enable one per run (models/moe.py)"
     )
-    prior = DiffusionPrior(
-        DiffusionPriorConfig(
-            network=PriorNetworkConfig(
-                dim=cfg["dim"], depth=pc["depth"], heads=pc["heads"],
-                dim_head=pc["dim_head"],
-                scan_layers=bool(pc.get("scan_layers", False)) or pipe_mb > 0,
-                pipeline_microbatches=pipe_mb,
-                ff_experts=ff_experts,
-                moe_capacity_factor=float(pc.get("moe_capacity_factor", 2.0)),
-                moe_aux_weight=float(pc.get("moe_aux_weight", 1e-2)),
-            ),
-            timesteps=pc["timesteps"],
-            sample_timesteps=pc["sample_timesteps"],
-        )
-    )
+    prior = prior_from_config(cfg)
     rng = jax.random.PRNGKey(cfg["seed"])
     params = prior.init_params(rng)
     optimizer = optax.adam(pc["lr"])
