@@ -4,6 +4,7 @@
   sampling        — 16x64x64, 250-step DDPM ancestral decode (steps/s/chip)
   clip_step       — video-CLIP contrastive step (pairs/s/chip)
   preprocess      — 8 synthetic clips -> tokens + 16-frame 64x64 store (clips/s)
+  prior           — diffusion-prior train step at the shipped config (embeds/s)
 
 Usage: python scripts/bench_all.py [suite ...]   (default: all but decoder)
 """
@@ -152,6 +153,48 @@ def bench_clip():
     emit("clip_pairs_per_sec", B / dt, "pairs/s/chip", (B / dt) / 0.9)
 
 
+def bench_prior(B=256, D=512, depth=6, iters=20):
+    """Prior train step at the shipped config (dim 512, depth 6, batch 256 —
+    configs/celebv_text.yaml): embeds/s/chip. The reference never shipped a
+    prior trainer, so there is no baseline to normalize against (vs=0).
+    (Defaults are the TPU geometry; tests drive a tiny one on CPU.)"""
+    import optax
+
+    from dalle2_video_tpu.models.prior import (
+        DiffusionPrior, DiffusionPriorConfig, PriorNetworkConfig,
+    )
+
+    prior = DiffusionPrior(DiffusionPriorConfig(
+        network=PriorNetworkConfig(dim=D, depth=depth, heads=8, dim_head=64),
+        timesteps=1000,
+    ))
+    params = prior.init_params(jax.random.PRNGKey(0))
+    opt = optax.adam(3e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key, ve, te):
+        loss, grads = jax.value_and_grad(
+            lambda p: prior.loss(p, key, ve, te))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    ve = jax.random.normal(jax.random.PRNGKey(1), (B, D))
+    te = jax.random.normal(jax.random.PRNGKey(2), (B, D))
+    key = jax.random.PRNGKey(3)
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, key, ve, te)
+    _sync(loss)
+    print(f"prior compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, key, ve, te)
+    _sync(loss)
+    dt = (time.time() - t0) / iters
+    print(f"prior step: {dt*1000:.1f}ms", file=sys.stderr)
+    emit("prior_embeds_per_sec", B / dt, "embeds/s/chip")
+
+
 def bench_preprocess():
     """BASELINE: 8 clips -> tokenized texts + 16-frame 64x64 store (CPU)."""
     import tempfile
@@ -184,9 +227,10 @@ SUITES = {
     "sampling": bench_sampling,
     "clip": bench_clip,
     "preprocess": bench_preprocess,
+    "prior": bench_prior,
 }
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["preprocess", "clip", "sampling"]
+    names = sys.argv[1:] or ["preprocess", "clip", "sampling", "prior"]
     for n in names:
         SUITES[n]()
