@@ -80,6 +80,27 @@ def test_pipeline_composes_with_data_parallel(pipe_mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-6, atol=2e-6)
 
 
+def test_pipeline_dp_gradients_match_sequential(pipe_mesh):
+    """Gradient parity with the batch ALSO sharded over 'data' (dp x pp):
+    ppermute/psum transposes must compose with the batch sharding."""
+    stacked, x = _toy(jax.random.PRNGKey(5))
+
+    def loss_pipe(st, x):
+        return jnp.sum(
+            pipeline_apply(
+                _layer, st, x, pipe_mesh, microbatches=2, batch_axis="data"
+            ) ** 2
+        )
+
+    def loss_seq(st, x):
+        return jnp.sum(_sequential(st, x) ** 2)
+
+    gp = jax.grad(loss_pipe)(stacked, x)
+    gs = jax.grad(loss_seq)(stacked, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_broadcast_args(pipe_mesh):
     stacked, x = _toy(jax.random.PRNGKey(3))
     bias = jnp.float32(0.25)
