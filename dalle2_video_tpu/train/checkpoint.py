@@ -131,17 +131,41 @@ class RollingCheckpointManager:
                 vals.append(m[self._metric_key])
         return vals
 
+    @staticmethod
+    def _restore(mgr, step: int, target: Any) -> Any:
+        """StandardRestore, topology-portable for structure-free loads.
+
+        With target=None orbax restores onto the checkpoint's SAVED device
+        layout — a state saved sharded over a mesh (pipelined/EP prior,
+        multi-chip training) then refuses to load on a different topology
+        (single-chip sampler/server). Fall back to a template built from
+        the checkpoint's own metadata with every array placed whole on the
+        local default device."""
+        if target is not None:
+            return mgr.restore(step, args=ocp.args.StandardRestore(target))
+        try:
+            return mgr.restore(step, args=ocp.args.StandardRestore(target))
+        except ValueError:
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            template = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(
+                    tuple(m.shape), m.dtype, sharding=sharding
+                ),
+                mgr.item_metadata(step),
+            )
+            return mgr.restore(step, args=ocp.args.StandardRestore(template))
+
     def restore_latest(self, target: Any) -> Any:
         step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self._dir}")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return self._restore(self._mgr, step, target)
 
     def restore_best(self, target: Any) -> Any:
         step = self._best_mgr.best_step() if self._best_mgr else None
         if step is None:
             return self.restore_latest(target)
-        return self._best_mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return self._restore(self._best_mgr, step, target)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

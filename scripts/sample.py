@@ -62,10 +62,14 @@ def main() -> None:
     # (scan_layers, ff_experts) always match the checkpoint
     prior = prior_from_config(cfg)
     prior_params = prior.init_params(k_init)
-    from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
+    from dalle2_video_tpu.train.checkpoint import (
+        has_checkpoint, load_best, load_params_subtree,
+    )
     prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"
     if has_checkpoint(str(prior_ckpt)):
-        prior_params = load_best(str(prior_ckpt), prior_params)
+        # layout-agnostic: train_prior saves FULL training state (resume
+        # support); inference wants just the params subtree
+        prior_params = load_params_subtree(str(prior_ckpt), prior_params)
         log.info("loaded prior %s", prior_ckpt)
 
     decoder = build_decoder(cfg)

@@ -35,7 +35,9 @@ def build_generate_batch(cfg, log):
         CLIPTextEncoder,
     )
     from dalle2_video_tpu.models.prior import prior_from_config
-    from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best
+    from dalle2_video_tpu.train.checkpoint import (
+        has_checkpoint, load_best, load_params_subtree,
+    )
     from scripts.train_decoder import build_decoder, build_trainer
 
     rng = jax.random.PRNGKey(int(cfg.get("sample_seed", 0)))
@@ -58,7 +60,9 @@ def build_generate_batch(cfg, log):
     prior_params = prior.init_params(k_init)
     prior_ckpt = Path(cfg["run_dir"]) / f"prior_{cfg['train_name']}"
     if has_checkpoint(str(prior_ckpt)):
-        prior_params = load_best(str(prior_ckpt), prior_params)
+        # layout-agnostic: train_prior saves FULL training state (resume
+        # support); serving wants just the params subtree
+        prior_params = load_params_subtree(str(prior_ckpt), prior_params)
         log.info("loaded prior %s", prior_ckpt)
 
     decoder = build_decoder(cfg)
