@@ -289,18 +289,28 @@ def load_latest(path: str, target: Any) -> Any:
     return load_checkpoint(str(p), target)
 
 
-def load_params_subtree(path: str, params_template: Any, which: str = "best") -> Any:
+def load_params_subtree(
+    path: str, params_template: Any, which: str = "best",
+    prefer_ema: bool = True,
+) -> Any:
     """Model params from a stage checkpoint dir, layout-agnostic.
 
     Resumable trainers (train_prior/train_vqgan) save their FULL training
-    state ({"params": ..., "opt_state": ...} or a dataclass with a
-    params-like field); older runs saved bare params. Inference consumers
-    (sample/serve) only need the params — restore structure-free and
-    select, then cast into the template's dtypes."""
+    state ({"params": ..., "opt_state": ...[, "ema": ...]} or a dataclass
+    with a params-like field); older runs saved bare params. Inference
+    consumers (sample/serve) only need the params — restore structure-free
+    and select, then cast into the template's dtypes. When the state
+    carries an EMA shadow it is preferred (dalle2-pytorch's trainers
+    sample with the EMA model); prefer_ema=False selects the online
+    params instead."""
     loader = load_best if which == "best" else load_latest
     raw = loader(path, None)  # orbax StandardRestore without a template
     if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
-        raw = raw["params"]
+        ema = raw.get("ema")
+        if prefer_ema and isinstance(ema, dict) and "params" in ema:
+            raw = ema["params"]
+        else:
+            raw = raw["params"]
     return jax.tree_util.tree_map(
         lambda t, a: jax.numpy.asarray(a, getattr(t, "dtype", None)),
         params_template, raw,

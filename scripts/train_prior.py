@@ -60,7 +60,22 @@ def main() -> None:
     optimizer = optax.adam(pc["lr"])
     opt_state = optimizer.init(params)
 
+    # EMA shadow prior (inherited DiffusionPriorTrainer capability —
+    # dalle2-pytorch samples with the EMA prior; load_params_subtree prefers
+    # the shadow). Opt-in: adding the shadow changes the checkpoint
+    # structure, so old runs keep resuming cleanly.
+    from dalle2_video_tpu.train.ema import EMAConfig, ema_init, ema_update
+
+    use_ema = bool(pc.get("use_ema", False))
+    ema_cfg = EMAConfig(
+        beta=float(pc.get("ema_beta", 0.99)),
+        update_after_step=int(pc.get("ema_update_after_step", 100)),
+        update_every=int(pc.get("ema_update_every", 10)),
+    )
+    ema = ema_init(params) if use_ema else None
+
     mesh = None
+    sharding_tree = None
     if pipe_mb > 0:
         from dalle2_video_tpu.parallel.mesh import create_mesh
         from dalle2_video_tpu.parallel.pipeline import pipeline_sharding_tree
@@ -69,11 +84,7 @@ def main() -> None:
         mesh = create_mesh(model=stages)
         log.info("pipeline parallelism: %d stages x %d data, %d microbatches",
                  stages, mesh.shape["data"], pipe_mb)
-        # place each stage's layer shard on its own devices
-        params = jax.tree_util.tree_map(
-            jax.device_put, params, pipeline_sharding_tree(params, mesh))
-        opt_state = jax.tree_util.tree_map(
-            jax.device_put, opt_state, pipeline_sharding_tree(opt_state, mesh))
+        sharding_tree = lambda t: pipeline_sharding_tree(t, mesh)
     elif ff_experts > 0:
         from dalle2_video_tpu.models.moe import moe_sharding_tree
         from dalle2_video_tpu.parallel.mesh import create_mesh
@@ -82,10 +93,17 @@ def main() -> None:
         mesh = create_mesh(model=ep)
         log.info("expert parallelism: %d experts over %d-way 'model' axis",
                  ff_experts, ep)
-        params = jax.tree_util.tree_map(
-            jax.device_put, params, moe_sharding_tree(params, mesh))
-        opt_state = jax.tree_util.tree_map(
-            jax.device_put, opt_state, moe_sharding_tree(opt_state, mesh))
+        sharding_tree = lambda t: moe_sharding_tree(t, mesh)
+
+    if sharding_tree is not None:
+        # place every training-state tree consistently: layer/expert shards
+        # on their stages, everything else (incl. the EMA step counter)
+        # replicated — mixed placements would fail at the jit boundary
+        place = lambda t: jax.tree_util.tree_map(
+            jax.device_put, t, sharding_tree(t))
+        params, opt_state = place(params), place(opt_state)
+        if ema is not None:
+            ema = place(ema)
 
     def _loss(p, key, ve, te):
         if mesh is None:
@@ -96,12 +114,15 @@ def main() -> None:
             return prior.loss(p, key, ve, te)
 
     @jax.jit
-    def step(params, opt_state, key, ve, te):
+    def step(params, opt_state, ema, key, ve, te):
         loss, grads = jax.value_and_grad(
             lambda p: _loss(p, key, ve, te)
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        params = optax.apply_updates(params, updates)
+        if ema is not None:
+            ema = ema_update(ema, params, ema_cfg)
+        return params, opt_state, ema, loss
 
     eval_loss = jax.jit(lambda p, key, ve, te: _loss(p, key, ve, te))
 
@@ -116,10 +137,12 @@ def main() -> None:
     gstep = 0
     start_epoch = 0
     if bool(cfg.get("resume", False)) and ckpt_mgr.latest_step() is not None:
-        restored = ckpt_mgr.restore_latest(
-            {"params": params, "opt_state": opt_state}
-        )
+        template = {"params": params, "opt_state": opt_state}
+        if use_ema:
+            template["ema"] = ema
+        restored = ckpt_mgr.restore_latest(template)
         params, opt_state = restored["params"], restored["opt_state"]
+        ema = restored.get("ema", ema)
         gstep = int(ckpt_mgr.latest_step())
         spe = max(len(splits["train"]) // pc["batch_size"], 1)
         start_epoch = gstep // spe
@@ -129,8 +152,8 @@ def main() -> None:
         epoch_losses = []
         for batch in train_loader:
             key, k = jax.random.split(key)
-            params, opt_state, loss = step(
-                params, opt_state, k,
+            params, opt_state, ema, loss = step(
+                params, opt_state, ema, k,
                 jnp.asarray(batch["video_embeds"]), jnp.asarray(batch["text_embeds"]),
             )
             epoch_losses.append(loss)  # on device; one sync per epoch below
@@ -159,8 +182,10 @@ def main() -> None:
         # restores the optimizer too (consumers read just the params via
         # load_params_subtree, which also accepts the old bare layout)
         if ckpt_mgr.latest_step() != gstep:
-            ckpt_mgr.save(gstep, {"params": params, "opt_state": opt_state},
-                          metrics=metrics)
+            state_out = {"params": params, "opt_state": opt_state}
+            if use_ema:
+                state_out["ema"] = ema
+            ckpt_mgr.save(gstep, state_out, metrics=metrics)
         log.info("epoch %d done", epoch)
 
     ckpt_mgr.close()
