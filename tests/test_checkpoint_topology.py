@@ -17,6 +17,32 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 ROOT = Path(__file__).resolve().parent.parent
 
 
+def test_load_params_subtree_prefers_ema(tmp_path):
+    """A full training state carrying an EMA shadow: consumers get the
+    shadow by default (dalle2-pytorch samples with the EMA model),
+    prefer_ema=False selects the online params."""
+    from dalle2_video_tpu.train.checkpoint import (
+        RollingCheckpointManager, load_params_subtree,
+    )
+
+    online = {"w": jnp.ones((4,))}
+    shadow = {"w": jnp.full((4,), 2.0)}
+    state = {
+        "params": online,
+        "opt_state": {"mu": online},
+        "ema": {"params": shadow, "step": jnp.asarray(5, jnp.int32)},
+    }
+    mgr = RollingCheckpointManager(str(tmp_path / "ck"), max_to_keep=1)
+    mgr.save(1, state)
+    mgr.close()
+
+    tmpl = {"w": jnp.zeros((4,))}
+    got = load_params_subtree(str(tmp_path / "ck"), tmpl)
+    np.testing.assert_allclose(np.asarray(got["w"]), 2.0)
+    got = load_params_subtree(str(tmp_path / "ck"), tmpl, prefer_ema=False)
+    np.testing.assert_allclose(np.asarray(got["w"]), 1.0)
+
+
 def test_structure_free_restore_across_topologies(tmp_path, mesh8):
     from dalle2_video_tpu.train.checkpoint import RollingCheckpointManager
 
