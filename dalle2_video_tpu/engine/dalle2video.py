@@ -40,11 +40,14 @@ class DALLE2Video:
         text_encodings: Optional[jnp.ndarray] = None,
         cond_scale: float = 1.0,
         prior_cond_scale: float = 1.0,
+        **sample_kwargs,
     ) -> jnp.ndarray:
         """text_embed (b, d) — or (b, d, t) in temporal_emb mode — -> video.
 
         `rng` may be a single key or per-row keys (utils/keys.py, not
-        supported in temporal_emb mode where the prior batch is b*t)."""
+        supported in temporal_emb mode where the prior batch is b*t).
+        Extra kwargs (max_batch_size, inpaint_video/inpaint_mask/... for
+        conditional generation) pass through to decoder.sample."""
         from dalle2_video_tpu.utils import keys as keyutil
 
         if self.temporal_emb and keyutil.is_batched(rng):
@@ -87,4 +90,5 @@ class DALLE2Video:
             video_embed=video_embed,
             text_encodings=text_enc,
             cond_scale=cond_scale,
+            **sample_kwargs,
         )

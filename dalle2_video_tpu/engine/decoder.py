@@ -660,6 +660,16 @@ class VideoDecoder:
         vb_losses = jnp.where(times == 0, decoder_nll, kl)
         return loss + vb_losses.mean() * cfg.vb_loss_weight
 
+    def _predict_x_start(self, i: int, x, t, pred):
+        """The per-unet epsilon/x0/v parameterization switch (reference
+        :1589-1598) — shared by p_mean_variance and every sampling loop."""
+        sched = self.schedules[i]
+        if self.predict_v[i]:
+            return sched.predict_start_from_v(x, t, pred)
+        if self.predict_x_start[i]:
+            return pred
+        return sched.predict_start_from_noise(x, t, pred)
+
     # ------------------------------------------------------------------ #
     # p(x_{t-1} | x_t) (reference p_mean_variance :1550-1618)
     # ------------------------------------------------------------------ #
@@ -673,6 +683,7 @@ class VideoDecoder:
         clip_denoised: bool = True,
         cond_scale: float = 1.0,
         model_output: Optional[jnp.ndarray] = None,
+        x_start_adjust=None,
         **cond_kwargs,
     ):
         sched = self.schedules[i]
@@ -682,13 +693,13 @@ class VideoDecoder:
                 i, unet_params, x, t, cond_scale=cond_scale, **cond_kwargs
             )
         pred, var_frac_unnorm = self.parse_unet_output(learned_var, model_output)
+        x_start = self._predict_x_start(i, x, t, pred)
 
-        if self.predict_v[i]:
-            x_start = sched.predict_start_from_v(x, t, pred)
-        elif self.predict_x_start[i]:
-            x_start = pred
-        else:
-            x_start = sched.predict_start_from_noise(x, t, pred)
+        if x_start_adjust is not None:
+            # hook for guidance terms computed OUTSIDE the posterior math
+            # (reconstruction-guided inpainting applies its gradient here,
+            # before clipping — see p_sample_loop_ddpm)
+            x_start = x_start_adjust(x_start)
 
         if clip_denoised:
             x_start = self.dynamic_threshold(x_start)
@@ -714,6 +725,25 @@ class VideoDecoder:
     # ------------------------------------------------------------------ #
     # DDPM ancestral sampling loop as lax.scan (reference :1620-1755)
     # ------------------------------------------------------------------ #
+    def _inpaint_prep(self, inpaint_video, inpaint_mask, is_latent):
+        """Normalize the known video into model space and cast the mask.
+        mask: 1 = KNOWN (kept), 0 = generated; broadcastable to the sample."""
+        assert inpaint_mask is not None, "inpaint_video requires inpaint_mask"
+        x0k = inpaint_video if is_latent else self._normalize(inpaint_video)
+        mask = jnp.asarray(inpaint_mask, jnp.float32)
+        return x0k, mask
+
+    @staticmethod
+    def _inpaint_replace(x_next, x0k, mask, acp_next, k_known, shape):
+        """Replacement method (Video Diffusion Models §4 baseline; RePaint
+        eq. 8): overwrite the known region with the exact forward marginal
+        q(x_t | x0) = sqrt(a-bar) x0 + sqrt(1 - a-bar) eps at the step the
+        sampler just produced. At the terminal step a-bar = 1, so the known
+        region of the output equals the conditioning video exactly."""
+        noise = keyutil.normal(k_known, shape, x_next.dtype)
+        known = x0k * jnp.sqrt(acp_next) + jnp.sqrt(1.0 - acp_next) * noise
+        return mask * known + (1.0 - mask) * x_next
+
     def p_sample_loop_ddpm(
         self,
         i: int,
@@ -723,6 +753,10 @@ class VideoDecoder:
         *,
         cond_scale: float = 1.0,
         is_latent: bool = False,
+        inpaint_video: Optional[jnp.ndarray] = None,
+        inpaint_mask: Optional[jnp.ndarray] = None,
+        inpaint_method: str = "replace",
+        inpaint_guidance_weight: float = 10.0,
         **cond_kwargs,
     ) -> jnp.ndarray:
         sched = self.schedules[i]
@@ -737,11 +771,39 @@ class VideoDecoder:
             cond_kwargs = dict(cond_kwargs)
             cond_kwargs["lowres_cond_video"] = self._normalize(lowres)
 
+        inpaint = inpaint_video is not None
+        if inpaint:
+            x0k, mask = self._inpaint_prep(inpaint_video, inpaint_mask, is_latent)
+        # acp_pad[k+1] = alpha_bar_k with acp_pad[0] = alpha_bar_{-1} = 1
+        acp_pad = jnp.concatenate([jnp.ones((1,)), sched.alphas_cumprod])
+
         def step(carry, time_scalar):
             x, x_start_prev, key = carry
-            key, k_noise = keyutil.split(key)
+            key, k_noise, k_known = keyutil.split(key, 3)
             t = jnp.full((b,), time_scalar, jnp.int32)
             self_cond = x_start_prev if ucfg.self_cond else None
+            model_output = None
+            adjust = None
+            if inpaint and inpaint_method == "guided":
+                # reconstruction guidance (Video Diffusion Models, Ho et al.
+                # 2022, eq. 7): steer the UNKNOWN region's x0 prediction by
+                # the gradient of the known-region reconstruction error
+                # through the denoiser; weight w_r * sqrt(a-bar_t) / 2
+                def recon(xin):
+                    out = self._unet_apply(
+                        i, unet_params, xin, t, cond_scale=cond_scale,
+                        self_cond=self_cond, **cond_kwargs,
+                    )
+                    pred, _ = self.parse_unet_output(
+                        self.learned_variance[i], out)
+                    x0 = self._predict_x_start(i, xin, t, pred)
+                    return jnp.sum(mask * (x0 - x0k) ** 2), out
+
+                (_, model_output), g = jax.value_and_grad(
+                    recon, has_aux=True)(x)
+                scale_t = 0.5 * inpaint_guidance_weight * jnp.sqrt(
+                    acp_pad[time_scalar + 1])
+                adjust = lambda xs: xs - scale_t * g
             mean, _, log_var, x_start = self._p_mean_variance(
                 i,
                 unet_params,
@@ -749,12 +811,17 @@ class VideoDecoder:
                 t,
                 clip_denoised=self.config.clip_denoised and not is_latent,
                 cond_scale=cond_scale,
+                model_output=model_output,
+                x_start_adjust=adjust,
                 self_cond=self_cond,
                 **cond_kwargs,
             )
             noise = keyutil.normal(k_noise, x.shape, x.dtype)
             nonzero = (time_scalar > 0).astype(x.dtype)
             x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+            if inpaint:
+                x_next = self._inpaint_replace(
+                    x_next, x0k, mask, acp_pad[time_scalar], k_known, x.shape)
             return (x_next, x_start, key), None
 
         times = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
@@ -774,6 +841,10 @@ class VideoDecoder:
         timesteps: int,
         cond_scale: float = 1.0,
         is_latent: bool = False,
+        inpaint_video: Optional[jnp.ndarray] = None,
+        inpaint_mask: Optional[jnp.ndarray] = None,
+        inpaint_method: str = "replace",
+        inpaint_guidance_weight: float = 10.0,
         **cond_kwargs,
     ) -> jnp.ndarray:
         sched = self.schedules[i]
@@ -801,23 +872,37 @@ class VideoDecoder:
         acp_pad = jnp.concatenate([jnp.ones((1,)), sched.alphas_cumprod])
         clip_denoised = self.config.clip_denoised and not is_latent
 
+        inpaint = inpaint_video is not None
+        if inpaint:
+            x0k, mask = self._inpaint_prep(inpaint_video, inpaint_mask, is_latent)
+
         def step(carry, tpair):
             x, x_start_prev, key = carry
             t_now, t_next = tpair
-            key, k_noise = keyutil.split(key)
+            key, k_noise, k_known = keyutil.split(key, 3)
             t = jnp.full((b,), t_now, jnp.int32)
             self_cond = x_start_prev if ucfg.self_cond else None
-            out = self._unet_apply(
-                i, unet_params, x, t, cond_scale=cond_scale,
-                self_cond=self_cond, **cond_kwargs,
-            )
-            pred, _ = self.parse_unet_output(self.learned_variance[i], out)
-            if self.predict_v[i]:
-                x_start = sched.predict_start_from_v(x, t, pred)
-            elif self.predict_x_start[i]:
-                x_start = pred
+
+            def x0_of(xin):
+                out = self._unet_apply(
+                    i, unet_params, xin, t, cond_scale=cond_scale,
+                    self_cond=self_cond, **cond_kwargs,
+                )
+                pred, _ = self.parse_unet_output(self.learned_variance[i], out)
+                return self._predict_x_start(i, xin, t, pred)
+
+            if inpaint and inpaint_method == "guided":
+                # reconstruction guidance (VDM eq. 7) — see p_sample_loop_ddpm
+                def recon(xin):
+                    x0 = x0_of(xin)
+                    return jnp.sum(mask * (x0 - x0k) ** 2), x0
+
+                (_, x_start), g = jax.value_and_grad(recon, has_aux=True)(x)
+                x_start = x_start - (
+                    0.5 * inpaint_guidance_weight * jnp.sqrt(acp_pad[t_now + 1])
+                ) * g
             else:
-                x_start = sched.predict_start_from_noise(x, t, pred)
+                x_start = x0_of(x)
             if clip_denoised:
                 x_start = self.dynamic_threshold(x_start)
             pred_noise = sched.predict_noise_from_start(x, t, x_start)
@@ -831,6 +916,9 @@ class VideoDecoder:
             x_next = (
                 x_start * jnp.sqrt(alpha_next) + c1 * noise * not_last + c2 * pred_noise
             )
+            if inpaint:
+                x_next = self._inpaint_replace(
+                    x_next, x0k, mask, alpha_next, k_known, x.shape)
             return (x_next, x_start, key), None
 
         (x, _, _), _ = jax.lax.scan(
@@ -855,6 +943,10 @@ class VideoDecoder:
         timesteps: int,
         cond_scale: float = 1.0,
         is_latent: bool = False,
+        inpaint_video: Optional[jnp.ndarray] = None,
+        inpaint_mask: Optional[jnp.ndarray] = None,
+        inpaint_method: str = "replace",
+        inpaint_guidance_weight: float = 10.0,
         **cond_kwargs,
     ) -> jnp.ndarray:
         """VP-parameterized 2M update over the same static ddim_time_pairs
@@ -891,7 +983,7 @@ class VideoDecoder:
         coef_d = -a_t * np.expm1(-h)  # h=inf -> a_t (terminal: x = D)
         c2 = np.where(first, 0.0, 1.0 / (2.0 * np.where(first, 1.0, r)))
 
-        k_init, _ = keyutil.split(rng)
+        k_init, k_loop = keyutil.split(rng)
         x_T = keyutil.normal(k_init, shape)
 
         lowres = cond_kwargs.get("lowres_cond_video")
@@ -901,35 +993,56 @@ class VideoDecoder:
 
         clip_denoised = self.config.clip_denoised and not is_latent
 
+        inpaint = inpaint_video is not None
+        if inpaint:
+            x0k, mask = self._inpaint_prep(inpaint_video, inpaint_mask, is_latent)
+
         def step(carry, xs):
-            x, x0_prev = carry
-            t_scalar, cx, cd, c2_ = xs
+            x, x0_prev, key = carry
+            t_scalar, cx, cd, c2_, acp_now, acp_next = xs
+            key, k_known = keyutil.split(key)
             t = jnp.full((b,), t_scalar, jnp.int32)
             self_cond = x0_prev if ucfg.self_cond else None
-            out = self._unet_apply(
-                i, unet_params, x, t, cond_scale=cond_scale,
-                self_cond=self_cond, **cond_kwargs,
-            )
-            pred, _ = self.parse_unet_output(self.learned_variance[i], out)
-            if self.predict_v[i]:
-                x0 = sched.predict_start_from_v(x, t, pred)
-            elif self.predict_x_start[i]:
-                x0 = pred
+
+            def x0_of(xin):
+                out = self._unet_apply(
+                    i, unet_params, xin, t, cond_scale=cond_scale,
+                    self_cond=self_cond, **cond_kwargs,
+                )
+                pred, _ = self.parse_unet_output(self.learned_variance[i], out)
+                return self._predict_x_start(i, xin, t, pred)
+
+            if inpaint and inpaint_method == "guided":
+                # reconstruction guidance (VDM eq. 7) — see p_sample_loop_ddpm
+                def recon(xin):
+                    x0 = x0_of(xin)
+                    return jnp.sum(mask * (x0 - x0k) ** 2), x0
+
+                (_, x0), g = jax.value_and_grad(recon, has_aux=True)(x)
+                # weight w_r * sqrt(a-bar at the CURRENT level t_now) / 2
+                x0 = x0 - (
+                    0.5 * inpaint_guidance_weight * jnp.sqrt(acp_now)
+                ) * g
             else:
-                x0 = sched.predict_start_from_noise(x, t, pred)
+                x0 = x0_of(x)
             if clip_denoised:
                 x0 = self.dynamic_threshold(x0)
             d = (1.0 + c2_) * x0 - c2_ * x0_prev
             x_next = cx * x + cd * d
-            return (x_next, x0), None
+            if inpaint:
+                x_next = self._inpaint_replace(
+                    x_next, x0k, mask, acp_next, k_known, x.shape)
+            return (x_next, x0, key), None
 
         xs = (
             jnp.asarray(t_now),
             jnp.asarray(coef_x, jnp.float32),
             jnp.asarray(coef_d, jnp.float32),
             jnp.asarray(c2, jnp.float32),
+            jnp.asarray(acp[t_now + 1], jnp.float32),   # a-bar at t_now
+            jnp.asarray(acp[t_next + 1], jnp.float32),  # a-bar x_next lands on
         )
-        (x, _), _ = jax.lax.scan(step, (x_T, jnp.zeros(shape)), xs)
+        (x, _, _), _ = jax.lax.scan(step, (x_T, jnp.zeros(shape), k_loop), xs)
         return self._unnormalize(x) if not is_latent else x
 
     # ------------------------------------------------------------------ #
@@ -946,9 +1059,24 @@ class VideoDecoder:
         video_embed: Optional[jnp.ndarray] = None,
         text_encodings: Optional[jnp.ndarray] = None,
         cond_scale: float = 1.0,
+        inpaint_video: Optional[jnp.ndarray] = None,
+        inpaint_mask: Optional[jnp.ndarray] = None,
+        inpaint_method: str = "replace",
+        inpaint_guidance_weight: float = 10.0,
     ) -> jnp.ndarray:
         """Sample one cascade stage. Pure function of (params, rng, conds) —
-        jit per stage. Returns video in [0,1], (b, T_i, S_i, S_i, C)."""
+        jit per stage. Returns video in [0,1], (b, T_i, S_i, S_i, C).
+
+        inpaint_video ([0,1], any (b,T,H,W,C)) + inpaint_mask (1 = known,
+        broadcastable over (b,T,H,W,1)) constrain the sample to agree with
+        the known region: video extension (mask selects leading frames),
+        temporal interpolation (mask selects every k-th frame), or spatial
+        inpainting. Both are resized to this stage's geometry; for a latent
+        stage the video is VAE-encoded and the mask is pooled to the latent
+        grid. Methods: "replace" (VDM §4 baseline / RePaint eq. 8) or
+        "guided" (VDM eq. 7 reconstruction guidance). The reference has no
+        conditional-generation path (its sample() is unconditional-from-
+        noise only, dalle2_video.py:2053-2186) — beyond-reference feature."""
         cfg = self.config
         ucfg = self.unet_configs[i]
         vae = self.vaes[i]
@@ -991,6 +1119,40 @@ class VideoDecoder:
                 vae_params, cond_kwargs["lowres_cond_video"]
             )
 
+        inpaint_kwargs: Dict[str, Any] = {}
+        if inpaint_video is not None:
+            assert inpaint_mask is not None, "inpaint_video requires inpaint_mask"
+            known = resize_video(
+                inpaint_video, frame_size, method="nearest",
+                clamp_range=(0.0, 1.0),
+            )
+            known = resize_video_time(known, frame_number, method="nearest")
+            mask = jnp.broadcast_to(
+                jnp.asarray(inpaint_mask, jnp.float32),
+                inpaint_video.shape[:4] + (1,),
+            )
+            mask = resize_video(mask, frame_size, method="nearest")
+            mask = resize_video_time(mask, frame_number, method="nearest")
+            if vae.is_latent:
+                # model space is the latent grid: encode the known video and
+                # pool the pixel mask down (a latent cell is "known" only if
+                # its f x f pixel patch is fully known -> spatial min-pool)
+                known = vae.encode(vae_params, known)  # [0,1] in, like loss()
+                f = frame_size // latent_size
+                assert f * latent_size == frame_size
+                mask = jax.lax.reduce_window(
+                    mask, jnp.inf, jax.lax.min,
+                    (1, 1, f, f, 1), (1, 1, f, f, 1), "VALID",
+                )
+            inpaint_kwargs = dict(
+                # latent `known` is already in model space; pixel `known`
+                # is [0,1] and the loop normalizes it (is_latent flag)
+                inpaint_video=known,
+                inpaint_mask=mask,
+                inpaint_method=inpaint_method,
+                inpaint_guidance_weight=inpaint_guidance_weight,
+            )
+
         st = self.sample_timesteps[i]
         if st is not None and st < cfg.timesteps:
             few_step = (
@@ -1000,12 +1162,13 @@ class VideoDecoder:
             vid = few_step(
                 i, params[f"unet_{i}"], k_loop, shape,
                 timesteps=st, cond_scale=cond_scale, is_latent=vae.is_latent,
-                **cond_kwargs,
+                **inpaint_kwargs, **cond_kwargs,
             )
         else:
             vid = self.p_sample_loop_ddpm(
                 i, params[f"unet_{i}"], k_loop, shape,
-                cond_scale=cond_scale, is_latent=vae.is_latent, **cond_kwargs,
+                cond_scale=cond_scale, is_latent=vae.is_latent,
+                **inpaint_kwargs, **cond_kwargs,
             )
         return vae.decode(vae_params, vid)
 
@@ -1022,8 +1185,17 @@ class VideoDecoder:
         stop_at_unet_number: Optional[int] = None,
         video: Optional[jnp.ndarray] = None,
         max_batch_size: Optional[int] = None,
+        inpaint_video: Optional[jnp.ndarray] = None,
+        inpaint_mask: Optional[jnp.ndarray] = None,
+        inpaint_method: str = "replace",
+        inpaint_guidance_weight: float = 10.0,
     ) -> jnp.ndarray:
         """Full cascade sampling (host-side loop over jittable stages).
+
+        inpaint_video/inpaint_mask enable conditional generation (video
+        extension, temporal interpolation, spatial inpainting) — the
+        constraint is re-applied at every cascade stage at that stage's
+        geometry; see sample_stage.
 
         `rng` may be a single key (whole-batch noise stream, reference
         semantics) or a batch of per-row keys (see utils/keys.py) — with
@@ -1054,6 +1226,11 @@ class VideoDecoder:
             else:
                 chunk_keys = list(jax.random.split(rng, len(spans)))
             take = lambda a, s, n: None if a is None else a[s : s + n]
+            # a broadcastable mask (leading dim 1) is shared across chunks
+            take_mask = lambda a, s, n: (
+                a if a is None or jnp.ndim(a) == 0 or a.shape[0] == 1
+                else a[s : s + n]
+            )
             outs = [
                 self.sample(
                     params, k,
@@ -1064,6 +1241,10 @@ class VideoDecoder:
                     start_at_unet_number=start_at_unet_number,
                     stop_at_unet_number=stop_at_unet_number,
                     video=take(video, s, sz),
+                    inpaint_video=take(inpaint_video, s, sz),
+                    inpaint_mask=take_mask(inpaint_mask, s, sz),
+                    inpaint_method=inpaint_method,
+                    inpaint_guidance_weight=inpaint_guidance_weight,
                 )
                 for k, (s, sz) in zip(chunk_keys, spans)
             ]
@@ -1093,6 +1274,10 @@ class VideoDecoder:
                 video_embed=video_embed,
                 text_encodings=text_encodings,
                 cond_scale=cond_scales[i],
+                inpaint_video=inpaint_video,
+                inpaint_mask=inpaint_mask,
+                inpaint_method=inpaint_method,
+                inpaint_guidance_weight=inpaint_guidance_weight,
             )
             if stop_at_unet_number is not None and stop_at_unet_number == i + 1:
                 break
