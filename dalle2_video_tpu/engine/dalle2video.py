@@ -30,6 +30,9 @@ class DALLE2Video:
         self.temporal_emb = temporal_emb
         self.prior_num_samples = prior_num_samples
         self.decoder_need_text_cond = decoder.condition_on_text_encodings
+        # jit_parts=True: compiled prior sampler per (cond_scale,) — the
+        # decoder side caches per stage (VideoDecoder._jitted_sample_stage)
+        self._prior_jit_cache: Dict[float, Any] = {}
 
     def generate(
         self,
@@ -40,6 +43,8 @@ class DALLE2Video:
         text_encodings: Optional[jnp.ndarray] = None,
         cond_scale: float = 1.0,
         prior_cond_scale: float = 1.0,
+        negative_text_embed: Optional[jnp.ndarray] = None,
+        jit_parts: bool = False,
         **sample_kwargs,
     ) -> jnp.ndarray:
         """text_embed (b, d) — or (b, d, t) in temporal_emb mode — -> video.
@@ -47,11 +52,24 @@ class DALLE2Video:
         `rng` may be a single key or per-row keys (utils/keys.py, not
         supported in temporal_emb mode where the prior batch is b*t).
         Extra kwargs (max_batch_size, inpaint_video/inpaint_mask/... for
-        conditional generation) pass through to decoder.sample."""
+        conditional generation) pass through to decoder.sample.
+
+        jit_parts=True compiles the prior sampler and each decoder stage
+        as SEPARATE cached programs instead of expecting the caller to
+        jit this whole method — required on backends that cap compiled-
+        program size (axon remote compile rejects the fused graph), and
+        programs are shared across calls/entry points.
+
+        negative_text_embed (negative prompting, beyond-reference): runs
+        the prior on the negative text embed too and uses the resulting
+        video embed as the decoder's CFG baseline (decoder.sample
+        negative_video_embed) — needs cond_scale != 1."""
         from dalle2_video_tpu.utils import keys as keyutil
 
         if self.temporal_emb and keyutil.is_batched(rng):
             raise ValueError("per-row keys are not supported with temporal_emb")
+        if self.temporal_emb and negative_text_embed is not None:
+            raise ValueError("negative prompting unsupported with temporal_emb")
         k_prior, k_dec = keyutil.split(rng)
 
         if self.temporal_emb:
@@ -69,11 +87,30 @@ class DALLE2Video:
         # (omitting the encoding tokens would change the transformer's
         # sequence length vs training — silent out-of-distribution sampling)
         prior_needs_enc = self.prior.config.network.cond_on_text_encodings
-        video_embed = self.prior.sample(
+
+        if jit_parts:
+            scale = float(prior_cond_scale)
+            prior_sample = self._prior_jit_cache.get(scale)
+            if prior_sample is None:
+                def _prior_sample(params_, key_, flat_, enc_):
+                    return self.prior.sample(
+                        params_, key_, flat_, text_encodings=enc_,
+                        num_samples_per_batch=self.prior_num_samples,
+                        cond_scale=scale,
+                    )
+
+                prior_sample = jax.jit(_prior_sample)
+                self._prior_jit_cache[scale] = prior_sample
+        else:
+            prior_sample = lambda params_, key_, flat_, enc_: self.prior.sample(
+                params_, key_, flat_, text_encodings=enc_,
+                num_samples_per_batch=self.prior_num_samples,
+                cond_scale=prior_cond_scale,
+            )
+
+        video_embed = prior_sample(
             prior_params, k_prior, flat,
-            text_encodings=prior_enc if prior_needs_enc else None,
-            num_samples_per_batch=self.prior_num_samples,
-            cond_scale=prior_cond_scale,
+            prior_enc if prior_needs_enc else None,
         )
 
         if self.temporal_emb:
@@ -84,11 +121,23 @@ class DALLE2Video:
             # silently inert (its quirk #1, SURVEY §2e.1).
             video_embed = video_embed.reshape(b, t, d)
 
+        if negative_text_embed is not None:
+            # an independent key: the negative stream must not perturb the
+            # positive stream's draws. Broadcast a shared (1, d) negative to
+            # the batch so per-row keys stay aligned with prior rows.
+            k_neg = keyutil.fold_in(k_prior, 1)
+            sample_kwargs["negative_video_embed"] = prior_sample(
+                prior_params, k_neg,
+                jnp.broadcast_to(negative_text_embed, flat.shape),
+                None,
+            )
+
         text_enc = text_encodings if self.decoder_need_text_cond else None
         return self.decoder.sample(
             decoder_params, k_dec,
             video_embed=video_embed,
             text_encodings=text_enc,
             cond_scale=cond_scale,
+            jit_stages=jit_parts,
             **sample_kwargs,
         )

@@ -287,6 +287,12 @@ class VideoDecoder:
         self.condition_on_text_encodings = any(
             c.cond_on_text_encodings for c in self.unet_configs
         )
+        # per-stage compiled samplers (sample(jit_stages=True)): one
+        # PROGRAM PER CASCADE STAGE instead of one whole-cascade jit — the
+        # axon remote-compile service caps the uploaded program size (HTTP
+        # 413 on the full prior+cascade+inpaint graph), and per-stage
+        # programs also re-use compilations across entry points
+        self._stage_jit_cache: Dict[tuple, Any] = {}
 
     # ------------------------------------------------------------------ #
     # params
@@ -368,9 +374,19 @@ class VideoDecoder:
         self_cond=None,
         video_keep_mask=None,
         text_keep_mask=None,
+        negative_video_embed=None,
+        negative_text_encodings=None,
     ) -> jnp.ndarray:
         """forward_with_cond_scale as ONE batched forward (reference :683-692
-        runs the unet twice). cond_scale is static."""
+        runs the unet twice). cond_scale is static.
+
+        negative_video_embed / negative_text_encodings (beyond-reference,
+        standard negative prompting): under CFG the guidance baseline is
+        the NEGATIVE conditioning instead of the learned null embedding —
+        guided = neg + (cond - neg) * cond_scale pushes the sample away
+        from the negative concept. Broadcastable against the positive
+        embed (e.g. (1, d) shared across the batch). Ignored at
+        cond_scale == 1 (no guidance stream exists)."""
         unet = self.sample_unets[unet_index]
         out_dtype = x.dtype
         cdt = self.config.sample_compute_dtype
@@ -396,6 +412,8 @@ class VideoDecoder:
             text_encodings = castf(text_encodings)
             lowres_cond_video = castf(lowres_cond_video)
             self_cond = castf(self_cond)
+            negative_video_embed = castf(negative_video_embed)
+            negative_text_encodings = castf(negative_text_encodings)
         kwargs = dict(
             video_embed=video_embed,
             text_encodings=text_encodings,
@@ -419,13 +437,40 @@ class VideoDecoder:
         keep = jnp.concatenate(
             [jnp.ones((b,), bool), jnp.zeros((b,), bool)], axis=0
         )
+        keep_all = jnp.ones((2 * b,), bool)
+        # second (guidance-baseline) stream: the learned null embedding
+        # (keep=0) by default, or the NEGATIVE conditioning (kept) when one
+        # is provided — per modality
+        keep_v, keep_t = keep, keep
+        emb2 = dict(kwargs)
+        if negative_video_embed is not None and kwargs["video_embed"] is not None:
+            pos = kwargs["video_embed"]
+            neg = jnp.broadcast_to(
+                negative_video_embed.astype(pos.dtype), pos.shape
+            )
+            emb2["video_embed"] = jnp.concatenate([pos, neg], axis=0)
+            keep_v = keep_all
+        else:
+            emb2["video_embed"] = dup(kwargs["video_embed"])
+        if (negative_text_encodings is not None
+                and kwargs["text_encodings"] is not None):
+            pos = kwargs["text_encodings"]
+            neg = jnp.broadcast_to(
+                negative_text_encodings.astype(pos.dtype), pos.shape
+            )
+            emb2["text_encodings"] = jnp.concatenate([pos, neg], axis=0)
+            keep_t = keep_all
+        else:
+            emb2["text_encodings"] = dup(kwargs["text_encodings"])
+        for key in ("lowres_cond_video", "lowres_noise_level", "self_cond"):
+            emb2[key] = dup(kwargs[key])
         out2 = unet.apply(
             dict(unet_params),
             dup(x),
             dup(t),
-            video_keep_mask=keep,
-            text_keep_mask=keep,
-            **{k: dup(v) for k, v in kwargs.items()},
+            video_keep_mask=keep_v,
+            text_keep_mask=keep_t,
+            **emb2,
         )
         out2 = out2.astype(out_dtype)
         logits, null_logits = out2[:b], out2[b:]
@@ -1063,9 +1108,15 @@ class VideoDecoder:
         inpaint_mask: Optional[jnp.ndarray] = None,
         inpaint_method: str = "replace",
         inpaint_guidance_weight: float = 10.0,
+        negative_video_embed: Optional[jnp.ndarray] = None,
+        negative_text_encodings: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Sample one cascade stage. Pure function of (params, rng, conds) —
         jit per stage. Returns video in [0,1], (b, T_i, S_i, S_i, C).
+
+        negative_video_embed / negative_text_encodings: negative-prompt
+        guidance — see _unet_apply (CFG baseline becomes the negative
+        conditioning; requires cond_scale != 1).
 
         inpaint_video ([0,1], any (b,T,H,W,C)) + inpaint_mask (1 = known,
         broadcastable over (b,T,H,W,1)) constrain the sample to agree with
@@ -1088,8 +1139,12 @@ class VideoDecoder:
         cond_kwargs: Dict[str, Any] = {}
         if ucfg.cond_on_video_embeds:
             cond_kwargs["video_embed"] = video_embed
+            if negative_video_embed is not None:
+                cond_kwargs["negative_video_embed"] = negative_video_embed
         if ucfg.cond_on_text_encodings:
             cond_kwargs["text_encodings"] = text_encodings
+            if negative_text_encodings is not None:
+                cond_kwargs["negative_text_encodings"] = negative_text_encodings
 
         if ucfg.lowres_cond:
             assert prev_video is not None
@@ -1172,6 +1227,36 @@ class VideoDecoder:
             )
         return vae.decode(vae_params, vid)
 
+    def _jitted_sample_stage(self, i: int, cond_scale: float,
+                             inpaint_method: str,
+                             inpaint_guidance_weight: float):
+        """Compiled sample_stage for stage i. Cache key = everything
+        host-side-static the trace reads (the jit itself retraces on
+        tensor shape/presence changes). self.sample_timesteps is in the
+        key because entry points mutate it around calls (scripts/serve.py
+        ddim_steps override)."""
+        key = (i, float(cond_scale), str(inpaint_method),
+               float(inpaint_guidance_weight), tuple(self.sample_timesteps))
+        fn = self._stage_jit_cache.get(key)
+        if fn is None:
+            def run(params, rng, batch_size, prev_video, video_embed,
+                    text_encodings, inpaint_video, inpaint_mask,
+                    negative_video_embed, negative_text_encodings):
+                return self.sample_stage(
+                    i, params, rng, batch_size=batch_size,
+                    prev_video=prev_video, video_embed=video_embed,
+                    text_encodings=text_encodings, cond_scale=cond_scale,
+                    inpaint_video=inpaint_video, inpaint_mask=inpaint_mask,
+                    inpaint_method=inpaint_method,
+                    inpaint_guidance_weight=inpaint_guidance_weight,
+                    negative_video_embed=negative_video_embed,
+                    negative_text_encodings=negative_text_encodings,
+                )
+
+            fn = jax.jit(run, static_argnums=(2,))
+            self._stage_jit_cache[key] = fn
+        return fn
+
     def sample(
         self,
         params: Dict[str, Any],
@@ -1189,13 +1274,27 @@ class VideoDecoder:
         inpaint_mask: Optional[jnp.ndarray] = None,
         inpaint_method: str = "replace",
         inpaint_guidance_weight: float = 10.0,
+        negative_video_embed: Optional[jnp.ndarray] = None,
+        negative_text_encodings: Optional[jnp.ndarray] = None,
+        jit_stages: bool = False,
     ) -> jnp.ndarray:
         """Full cascade sampling (host-side loop over jittable stages).
+
+        jit_stages=True compiles and caches ONE PROGRAM PER STAGE
+        (_jitted_sample_stage) instead of leaving jitting to the caller —
+        use this instead of wrapping the whole cascade in one jax.jit
+        when the single fused program would be huge (the axon
+        remote-compile service rejects oversized uploads).
 
         inpaint_video/inpaint_mask enable conditional generation (video
         extension, temporal interpolation, spatial inpainting) — the
         constraint is re-applied at every cascade stage at that stage's
         geometry; see sample_stage.
+
+        negative_video_embed / negative_text_encodings replace the learned
+        null embedding as the CFG baseline (negative prompting — see
+        _unet_apply); broadcastable (1, ...) negatives are shared across
+        the batch (and across max_batch_size chunks).
 
         `rng` may be a single key (whole-batch noise stream, reference
         semantics) or a batch of per-row keys (see utils/keys.py) — with
@@ -1245,6 +1344,10 @@ class VideoDecoder:
                     inpaint_mask=take_mask(inpaint_mask, s, sz),
                     inpaint_method=inpaint_method,
                     inpaint_guidance_weight=inpaint_guidance_weight,
+                    negative_video_embed=take_mask(negative_video_embed, s, sz),
+                    negative_text_encodings=take_mask(
+                        negative_text_encodings, s, sz),
+                    jit_stages=jit_stages,
                 )
                 for k, (s, sz) in zip(chunk_keys, spans)
             ]
@@ -1265,20 +1368,31 @@ class VideoDecoder:
         for i in range(n):
             if (i + 1) < start_at_unet_number:
                 continue
-            vid = self.sample_stage(
-                i,
-                params,
-                keys[i],
-                batch_size=batch_size,
-                prev_video=vid,
-                video_embed=video_embed,
-                text_encodings=text_encodings,
-                cond_scale=cond_scales[i],
-                inpaint_video=inpaint_video,
-                inpaint_mask=inpaint_mask,
-                inpaint_method=inpaint_method,
-                inpaint_guidance_weight=inpaint_guidance_weight,
-            )
+            if jit_stages:
+                vid = self._jitted_sample_stage(
+                    i, cond_scales[i], inpaint_method, inpaint_guidance_weight
+                )(
+                    params, keys[i], batch_size, vid, video_embed,
+                    text_encodings, inpaint_video, inpaint_mask,
+                    negative_video_embed, negative_text_encodings,
+                )
+            else:
+                vid = self.sample_stage(
+                    i,
+                    params,
+                    keys[i],
+                    batch_size=batch_size,
+                    prev_video=vid,
+                    video_embed=video_embed,
+                    text_encodings=text_encodings,
+                    cond_scale=cond_scales[i],
+                    inpaint_video=inpaint_video,
+                    inpaint_mask=inpaint_mask,
+                    inpaint_method=inpaint_method,
+                    inpaint_guidance_weight=inpaint_guidance_weight,
+                    negative_video_embed=negative_video_embed,
+                    negative_text_encodings=negative_text_encodings,
+                )
             if stop_at_unet_number is not None and stop_at_unet_number == i + 1:
                 break
         return vid

@@ -16,6 +16,10 @@ The model callable has the signature
     generate_batch(prompts, seeds, *, cond_scale, ddim_steps) -> (b, ...)
 (prompts: list[str], seeds: np.uint32 array) and is built from real
 prior+decoder checkpoints by scripts/serve.py — or any test double.
+Inpainting requests additionally pass stacked ``inpaint_video`` /
+``inpaint_mask`` (b, ...) arrays plus ``inpaint_method`` /
+``inpaint_guidance_weight`` keywords — only when the group has them, so
+plain callables need not accept them.
 """
 
 from __future__ import annotations
@@ -37,10 +41,33 @@ class GenRequest:
     seed: int = 0
     cond_scale: float = 1.0
     ddim_steps: Optional[int] = None  # None -> full DDPM schedule
+    # conditional generation (engine/decoder.py inpainting): per-request
+    # known video (T, H, W, C) in [0, 1] + mask broadcastable to
+    # (T, H, W, 1) with 1 = known. Data, not config: rows with the SAME
+    # inpaint signature (shapes/method/weight — anything trace-static)
+    # batch together; their tensors ride the dispatch as stacked args.
+    inpaint_video: Optional[np.ndarray] = None
+    inpaint_mask: Optional[np.ndarray] = None
+    inpaint_method: str = "replace"
+    inpaint_guidance_weight: float = 10.0
+    # negative prompting (CFG away from a concept; see engine/decoder.py).
+    # The negative prompt is per-row DATA like the prompt; only its
+    # PRESENCE is trace-static (the extra prior/text-tower pass).
+    negative_prompt: Optional[str] = None
 
     @property
-    def trace_key(self) -> Tuple[float, Optional[int]]:
-        return (float(self.cond_scale), self.ddim_steps)
+    def trace_key(self) -> Tuple:
+        inp = None
+        if self.inpaint_video is not None:
+            inp = (
+                tuple(self.inpaint_video.shape),
+                None if self.inpaint_mask is None
+                else tuple(self.inpaint_mask.shape),
+                str(self.inpaint_method),
+                float(self.inpaint_guidance_weight),
+            )
+        return (float(self.cond_scale), self.ddim_steps, inp,
+                self.negative_prompt is not None)
 
 
 def _next_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -62,7 +89,9 @@ class GenerationEngine:
     ):
         self._generate_batch = generate_batch
         self._buckets = tuple(sorted(buckets))
-        self._default_key = (float(default_cond_scale), default_ddim_steps)
+        self._default_key = (
+            float(default_cond_scale), default_ddim_steps, None, False
+        )
         self._lock = threading.Lock()  # one device program at a time
         self._batcher = MicroBatcher(
             self._run_group,
@@ -83,6 +112,8 @@ class GenerationEngine:
     def submit(self, req: GenRequest) -> Future:
         """Returns a Future resolving to a dict: video (np.ndarray for
         THIS request), batch_size it rode in, device_ms of the call."""
+        if req.inpaint_video is not None and req.inpaint_mask is None:
+            raise ValueError("inpaint_video requires inpaint_mask")
         return self._batcher.submit(req)
 
     def generate(self, req: GenRequest, timeout: Optional[float] = None) -> dict:
@@ -91,7 +122,7 @@ class GenerationEngine:
     def warmup(self) -> dict:
         """Compile every bucket at the default trace key; returns per-
         bucket compile+run seconds (first call per shape = compile)."""
-        cond_scale, steps = self._default_key
+        cond_scale, steps, _, _ = self._default_key
         timings = {}
         for b in self._buckets:
             reqs = [
@@ -114,16 +145,33 @@ class GenerationEngine:
 
     # ------------------------------------------------------------- #
     def _run_group(self, key, reqs) -> list:
-        cond_scale, ddim_steps = key
+        cond_scale, ddim_steps, inp, has_negative = key
         n = len(reqs)
         bucket = _next_bucket(n, self._buckets)
         padded = list(reqs) + [reqs[-1]] * (bucket - n)
         prompts = [r.prompt for r in padded]
         seeds = np.asarray([r.seed for r in padded], dtype=np.uint32)
+        extra = {}
+        if inp is not None:
+            # the trace key pins shapes/method/weight, so stacking is safe;
+            # padding repeats the last row's tensors like its prompt/seed
+            extra = dict(
+                inpaint_video=np.stack(
+                    [np.asarray(r.inpaint_video, np.float32) for r in padded]
+                ),
+                inpaint_mask=np.stack(
+                    [np.asarray(r.inpaint_mask, np.float32) for r in padded]
+                ),
+                inpaint_method=inp[2],
+                inpaint_guidance_weight=inp[3],
+            )
+        if has_negative:
+            extra["negative_prompts"] = [r.negative_prompt for r in padded]
         with self._lock:
             t0 = time.time()
             videos = self._generate_batch(
-                prompts, seeds, cond_scale=cond_scale, ddim_steps=ddim_steps
+                prompts, seeds, cond_scale=cond_scale, ddim_steps=ddim_steps,
+                **extra,
             )
             device_ms = (time.time() - t0) * 1e3
         videos = np.asarray(videos)[:n]

@@ -4,13 +4,23 @@ Endpoints (stdlib ThreadingHTTPServer — each request blocks its own
 thread on the engine Future while the micro-batcher coalesces):
 
   POST /v1/generate   {"prompt": str, "seed": int?, "cond_scale": float?,
-                       "ddim_steps": int?, "format": "npy_b64"|"meta"}
+                       "ddim_steps": int?, "format": "npy_b64"|"meta",
+                       "inpaint_video_b64": <base64 .npy>?,
+                       "inpaint_mask_b64": <base64 .npy>?,
+                       "inpaint_method": "replace"|"guided"?,
+                       "inpaint_guidance_weight": float?,
+                       "negative_prompt": str?}
       omitted cond_scale/ddim_steps fall back to the engine's configured
       defaults (the trace key warmup() pre-compiled); ddim_steps=0
       explicitly requests the full DDPM schedule. `seed` is reproducible
       PER REQUEST: the sampler uses per-row PRNG keys (utils/keys.py), so
       the same (prompt, seed, cond_scale, ddim_steps) returns the same
-      video regardless of micro-batch grouping or padding
+      video regardless of micro-batch grouping or padding.
+      Conditional generation: inpaint_video_b64 is a base64 .npy
+      (T, H, W, C) float video in [0, 1]; inpaint_mask_b64 a base64 .npy
+      mask broadcastable to (T, H, W, 1), 1 = known region kept exactly
+      (video extension / temporal interpolation / spatial inpainting —
+      see engine/decoder.py)
       -> {"shape": [...], "dtype": str, "batch_size": n, "bucket": b,
           "device_ms": ms, "data_b64": <base64 .npy>?}
   GET  /healthz       -> {"status": "ok", "device": "..."}
@@ -39,6 +49,16 @@ def _npy_b64(arr: np.ndarray) -> str:
     buf = io.BytesIO()
     np.save(buf, arr)
     return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _b64_npy(s: str, name: str, ndim: int = 4) -> np.ndarray:
+    try:
+        arr = np.load(io.BytesIO(base64.b64decode(s)), allow_pickle=False)
+    except Exception as exc:  # noqa: BLE001 — any decode failure is a 400
+        raise ValueError(f"{name} is not a base64 .npy payload: {exc}")
+    if arr.ndim != ndim:
+        raise ValueError(f"{name} must have {ndim} dims, got shape {arr.shape}")
+    return np.asarray(arr, np.float32)
 
 
 def _gif_b64(video: np.ndarray, fps: int = 8) -> str:
@@ -96,6 +116,16 @@ def make_server(
                     ddim_steps = int(ds) if ds else None
                 else:
                     ddim_steps = engine.default_ddim_steps
+                inpaint_video = inpaint_mask = None
+                if payload.get("inpaint_video_b64"):
+                    inpaint_video = _b64_npy(
+                        payload["inpaint_video_b64"], "inpaint_video"
+                    )
+                    if not payload.get("inpaint_mask_b64"):
+                        raise ValueError("inpaint_video requires inpaint_mask")
+                    inpaint_mask = _b64_npy(
+                        payload["inpaint_mask_b64"], "inpaint_mask"
+                    )
                 req = GenRequest(
                     prompt=str(payload["prompt"]),
                     seed=int(payload.get("seed") or 0),
@@ -103,6 +133,18 @@ def make_server(
                         payload.get("cond_scale", engine.default_cond_scale)
                     ),
                     ddim_steps=ddim_steps,
+                    inpaint_video=inpaint_video,
+                    inpaint_mask=inpaint_mask,
+                    inpaint_method=str(
+                        payload.get("inpaint_method", "replace")
+                    ),
+                    inpaint_guidance_weight=float(
+                        payload.get("inpaint_guidance_weight", 10.0)
+                    ),
+                    negative_prompt=(
+                        str(payload["negative_prompt"])
+                        if payload.get("negative_prompt") else None
+                    ),
                 )
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as exc:

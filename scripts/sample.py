@@ -6,6 +6,21 @@ reranked), and runs the decoder cascade. Usage:
 
     python scripts/sample.py configs/celebv_text.yaml \
         prompt="a person smiling" cond_scale=3.0 out=samples.npy
+
+Conditional generation (engine/decoder.py inpainting — the reference
+samples from noise only):
+
+    # extend a clip: frames 0,1 of known.npy are kept exactly
+    python scripts/sample.py ... inpaint_video=known.npy inpaint_frames=0,1
+    # arbitrary region: mask.npy broadcastable to (T, H, W, 1), 1 = known
+    python scripts/sample.py ... inpaint_video=known.npy inpaint_mask=mask.npy
+    # reconstruction guidance on top of replacement (VDM eq. 7)
+    ... inpaint_method=guided inpaint_guidance_weight=10
+
+Negative prompting (CFG away from a concept; needs cond_scale > 1):
+
+    python scripts/sample.py ... cond_scale=3.0 \
+        negative_prompt="a blurry face"
 """
 
 from __future__ import annotations
@@ -83,9 +98,48 @@ def main() -> None:
         log.info("loaded decoder %s", dec_ckpt)
     dec_params = trainer.sampling_params(state)
 
+    inpaint_kwargs = {}
+    if cfg.get("inpaint_video"):
+        known = np.asarray(np.load(cfg["inpaint_video"]), np.float32)
+        if known.ndim == 4:  # (T, H, W, C) -> batch of 1
+            known = known[None]
+        if cfg.get("inpaint_mask"):
+            mask = np.asarray(np.load(cfg["inpaint_mask"]), np.float32)
+            if mask.ndim == 4:
+                mask = mask[None]
+        else:
+            frames = cfg.get("inpaint_frames")
+            assert frames is not None, (
+                "inpaint_video needs inpaint_mask=<npy> or inpaint_frames=0,1"
+            )
+            if not isinstance(frames, (list, tuple)):
+                frames = [int(x) for x in str(frames).split(",")]
+            mask = np.zeros((1, known.shape[1], 1, 1, 1), np.float32)
+            mask[:, list(map(int, frames))] = 1.0
+        inpaint_kwargs = dict(
+            inpaint_video=jnp.asarray(known),
+            inpaint_mask=jnp.asarray(mask),
+            inpaint_method=str(cfg.get("inpaint_method", "replace")),
+            inpaint_guidance_weight=float(
+                cfg.get("inpaint_guidance_weight", 10.0)
+            ),
+        )
+        log.info("inpainting: known %s, mask %s, method=%s",
+                 known.shape, mask.shape, inpaint_kwargs["inpaint_method"])
+
+    if cfg.get("negative_prompt"):
+        neg_tokens = jnp.asarray(tokenize([str(cfg["negative_prompt"])]))
+        inpaint_kwargs["negative_text_embed"] = text_enc.apply(
+            text_params, neg_tokens
+        )
+        log.info("negative prompt: %r", cfg["negative_prompt"])
+
     wrapper = DALLE2Video(prior, decoder)
+    # jit_parts: compiled prior + per-stage decoder programs (the fused
+    # whole-cascade program can exceed the axon compile upload cap)
     video = wrapper.generate(
-        prior_params, dec_params, k_gen, text_embed, cond_scale=cond_scale
+        prior_params, dec_params, k_gen, text_embed, cond_scale=cond_scale,
+        jit_parts=True, **inpaint_kwargs,
     )
     np.save(out_path, np.asarray(video))
     log.info("wrote %s %s", out_path, video.shape)

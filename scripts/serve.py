@@ -14,6 +14,7 @@ surface for the framework (see dalle2_video_tpu/serve/).
 
 from __future__ import annotations
 
+import functools
 import logging
 import sys
 from pathlib import Path
@@ -126,7 +127,11 @@ def build_generate_batch(cfg, log):
     # the engine lock serializes groups, so the mutation is race-free.
     compiled = {}
 
-    def generate_batch(prompts, seeds, *, cond_scale, ddim_steps):
+    def generate_batch(prompts, seeds, *, cond_scale, ddim_steps,
+                       inpaint_video=None, inpaint_mask=None,
+                       inpaint_method="replace",
+                       inpaint_guidance_weight=10.0,
+                       negative_prompts=None):
         from dalle2_video_tpu.utils import keys as keyutil
 
         tokens = jnp.asarray(tokenize(list(prompts)))
@@ -136,14 +141,43 @@ def build_generate_batch(cfg, log):
         # which micro-batch group it rode in or how the group was padded
         batch_key = keyutil.batch_keys(np.asarray(seeds, dtype=np.uint32))
 
-        sig = (float(cond_scale), ddim_steps)
+        # inpainting tensors are traced args; everything that would force a
+        # retrace (their shapes, the method branch, the guidance weight) is
+        # part of the compiled-program signature
+        inp = None
+        if inpaint_video is not None:
+            inp = (tuple(inpaint_video.shape), tuple(inpaint_mask.shape),
+                   str(inpaint_method), float(inpaint_guidance_weight))
+        has_neg = negative_prompts is not None
+        sig = (float(cond_scale), ddim_steps, inp, has_neg)
         fn = compiled.get(sig)
         if fn is None:
-            def run(tokens_, key_, _scale=float(cond_scale)):
-                text_embed = text_enc.apply(text_params, tokens_)
+            _scale = float(cond_scale)
+            _method = str(inpaint_method)
+            _w = float(inpaint_guidance_weight)
+
+            # one traced callable per signature: optional args appear in
+            # the SAME order the dispatch passes them (inpaint pair, then
+            # negative-prompt tokens). split=True compiles the text tower,
+            # the prior, and each decoder stage as SEPARATE cached programs
+            # (jit_parts) — the axon compile service rejects the single
+            # fused cascade graph with HTTP 413 (upload size cap)
+            def run(tokens_, key_, *opt, split=False):
+                opt = list(opt)
+                kw = {}
+                embed = compiled["text_embed_jit"] if split else (
+                    lambda t: text_enc.apply(text_params, t)
+                )
+                if inp is not None:
+                    kw["inpaint_video"] = opt.pop(0)
+                    kw["inpaint_mask"] = opt.pop(0)
+                    kw["inpaint_method"] = _method
+                    kw["inpaint_guidance_weight"] = _w
+                if has_neg:
+                    kw["negative_text_embed"] = embed(opt.pop(0))
                 return wrapper.generate(
-                    prior_params, dec_params, key_, text_embed,
-                    cond_scale=_scale,
+                    prior_params, dec_params, key_, embed(tokens_),
+                    cond_scale=_scale, jit_parts=split, **kw,
                 )
 
             if dp_mesh is not None:
@@ -153,15 +187,25 @@ def build_generate_batch(cfg, log):
 
                 fn = make_data_parallel_sampler(run, dp_mesh)
             else:
-                fn = jax.jit(run)
+                if "text_embed_jit" not in compiled:
+                    compiled["text_embed_jit"] = jax.jit(
+                        lambda t: text_enc.apply(text_params, t)
+                    )
+                fn = functools.partial(run, split=True)
             compiled[sig] = fn
 
+        args = (tokens, batch_key)
+        if inp is not None:
+            args += (jnp.asarray(inpaint_video, jnp.float32),
+                     jnp.asarray(inpaint_mask, jnp.float32))
+        if has_neg:
+            args += (jnp.asarray(tokenize(list(negative_prompts))),)
         decoder.sample_timesteps = (
             tuple(ddim_steps for _ in default_st)
             if ddim_steps is not None else default_st
         )
         try:
-            return np.asarray(fn(tokens, batch_key))
+            return np.asarray(fn(*args))
         finally:
             decoder.sample_timesteps = default_st
 

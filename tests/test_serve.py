@@ -165,6 +165,57 @@ def test_engine_warmup_compiles_each_bucket():
     eng.close()
 
 
+def test_engine_inpaint_stacks_rows_and_separates_from_plain():
+    """Inpainting requests: tensors stack across the group (padding
+    repeats the last row), the inpaint kwargs reach generate_batch, and
+    plain requests never share a dispatch with inpainting ones (the
+    trace key differs)."""
+    calls = []
+
+    def gen(prompts, seeds, *, cond_scale, ddim_steps, **extra):
+        calls.append((len(prompts), dict(extra)))
+        b = len(prompts)
+        if "inpaint_video" in extra:
+            iv, im = extra["inpaint_video"], extra["inpaint_mask"]
+            assert iv.shape == (b, 2, 4, 4, 3) and im.shape == (b, 2, 1, 1, 1)
+            # echo the known region so the test can assert row identity
+            return iv * im
+        return np.zeros((b, 2, 4, 4, 3), np.float32)
+
+    eng = GenerationEngine(gen, buckets=(4,), max_wait_ms=40.0)
+    try:
+        rng = np.random.RandomState(0)
+        vids = [rng.rand(2, 4, 4, 3).astype(np.float32) for _ in range(3)]
+        mask = np.zeros((2, 1, 1, 1), np.float32)
+        mask[0] = 1.0
+        futs = [
+            eng.submit(GenRequest(f"p{i}", seed=i, inpaint_video=v,
+                                  inpaint_mask=mask))
+            for i, v in enumerate(vids)
+        ]
+        futs.append(eng.submit(GenRequest("plain", seed=9)))
+        res = [f.result(timeout=5.0) for f in futs]
+        # right row of the stacked batch came back to each request
+        for i in range(3):
+            np.testing.assert_allclose(res[i]["video"][0], vids[i][0])
+            np.testing.assert_allclose(res[i]["video"][1], 0.0)
+        # plain dispatch carried no inpaint kwargs
+        plain_calls = [c for c in calls if "inpaint_video" not in c[1]]
+        inp_calls = [c for c in calls if "inpaint_video" in c[1]]
+        assert plain_calls and inp_calls
+        # every dispatch padded to the bucket
+        assert all(n == 4 for n, _ in calls)
+    finally:
+        eng.close()
+
+    with pytest.raises(ValueError):
+        eng2 = GenerationEngine(gen, buckets=(1,))
+        try:
+            eng2.submit(GenRequest("x", inpaint_video=vids[0]))  # no mask
+        finally:
+            eng2.close()
+
+
 # ------------------------------------------------------------------ #
 # HTTP server end to end
 # ------------------------------------------------------------------ #
@@ -226,6 +277,108 @@ def test_http_server_end_to_end():
 
         # malformed request -> 400, not a crash
         conn.request("POST", "/v1/generate", "{}",
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        eng.close()
+
+
+def test_engine_negative_prompt_rides_as_row_data():
+    """negative_prompt is per-row data under a presence-only trace key:
+    rows with negatives batch together (whatever the strings are), rows
+    without never join them, and generate_batch receives the aligned
+    negative_prompts list."""
+    calls = []
+
+    def gen(prompts, seeds, *, cond_scale, ddim_steps, **extra):
+        calls.append((list(prompts), dict(extra)))
+        b = len(prompts)
+        out = np.zeros((b, 2, 4, 4, 3), np.float32)
+        if "negative_prompts" in extra:
+            for i, np_ in enumerate(extra["negative_prompts"]):
+                out[i, 0, 0, 0, 0] = float(len(np_))  # echo row alignment
+        return out
+
+    eng = GenerationEngine(gen, buckets=(4,), max_wait_ms=40.0)
+    try:
+        futs = [
+            eng.submit(GenRequest("a", negative_prompt="xx")),
+            eng.submit(GenRequest("b", negative_prompt="yyyy")),
+            eng.submit(GenRequest("c")),
+        ]
+        res = [f.result(timeout=5.0) for f in futs]
+        assert res[0]["video"][0, 0, 0, 0] == 2.0
+        assert res[1]["video"][0, 0, 0, 0] == 4.0
+        assert res[2]["video"][0, 0, 0, 0] == 0.0
+        neg_calls = [c for c in calls if "negative_prompts" in c[1]]
+        plain_calls = [c for c in calls if "negative_prompts" not in c[1]]
+        assert neg_calls and plain_calls
+        # padding repeated the last row's negative too
+        for prompts, extra in neg_calls:
+            assert len(extra["negative_prompts"]) == len(prompts)
+    finally:
+        eng.close()
+
+
+def test_http_inpaint_round_trip():
+    """Inpainting over the HTTP API: .npy-b64 video+mask in, known region
+    echoed back in the payload; missing mask -> 400."""
+    import base64
+    import io
+
+    from dalle2_video_tpu.serve.server import make_server
+
+    def gen(prompts, seeds, *, cond_scale, ddim_steps, **extra):
+        b = len(prompts)
+        if "inpaint_video" in extra:
+            return extra["inpaint_video"] * extra["inpaint_mask"]
+        return np.zeros((b, 2, 4, 4, 3), np.float32)
+
+    def npy_b64(a):
+        buf = io.BytesIO()
+        np.save(buf, a)
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    eng = GenerationEngine(gen, buckets=(1, 2), max_wait_ms=10.0)
+    httpd = make_server(eng, "127.0.0.1", 0, device_name="cpu-test")
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        known = np.random.RandomState(3).rand(2, 4, 4, 3).astype(np.float32)
+        mask = np.zeros((2, 1, 1, 1), np.float32)
+        mask[0] = 1.0
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        body = json.dumps({
+            "prompt": "extend this", "seed": 1,
+            "inpaint_video_b64": npy_b64(known),
+            "inpaint_mask_b64": npy_b64(mask),
+        })
+        conn.request("POST", "/v1/generate", body,
+                     {"Content-Type": "application/json"})
+        res = json.loads(conn.getresponse().read())
+        arr = np.load(io.BytesIO(base64.b64decode(res["data_b64"])))
+        np.testing.assert_allclose(arr[0], known[0], atol=1e-6)
+        np.testing.assert_allclose(arr[1], 0.0)
+
+        # video without mask -> 400
+        body = json.dumps({"prompt": "x", "inpaint_video_b64": npy_b64(known)})
+        conn.request("POST", "/v1/generate", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+
+        # malformed base64 -> 400, not a crash
+        body = json.dumps({"prompt": "x", "inpaint_video_b64": "!!notb64!!",
+                           "inpaint_mask_b64": npy_b64(mask)})
+        conn.request("POST", "/v1/generate", body,
                      {"Content-Type": "application/json"})
         resp = conn.getresponse()
         assert resp.status == 400
