@@ -156,7 +156,9 @@ def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, bwd_impl,
             q, k, v, out, lse, g, sm_scale=sm_scale, interpret=interpret,
             block_q=bwd_block_q, block_k=bwd_block_k,
         )
-    return _bwd_xla_scan(q, k, v, g, sm_scale=sm_scale, block_q=block_q)
+    # chunked by the BWD block (the b=1 xla-scan A/B was measured at 512;
+    # the fwd blocks may now be larger and must not leak into it)
+    return _bwd_xla_scan(q, k, v, g, sm_scale=sm_scale, block_q=bwd_block_q)
 
 
 def _bwd_xla_scan(q, k, v, g, *, sm_scale, block_q):
@@ -379,10 +381,33 @@ def _bwd_pallas(q, k, v, out, lse, g, *, sm_scale, interpret,
 
 
 def _auto_block_k(n_kv: int) -> int:
-    """Default kv block: 1024 for long-context shapes (probe19: 31.0 vs
-    18.7 TF/s fwd at 23k tokens), 512 below — a 1024 block on e.g. the
-    1025-token 16-frame sampling shape would pad kv 1025 -> 2048."""
+    """Default BACKWARD kv block: 1024 for long-context shapes (probe19:
+    31.0 vs 18.7 TF/s fwd at 23k tokens), 512 below — a 1024 block on e.g.
+    the 1025-token 16-frame sampling shape would pad kv 1025 -> 2048.
+    The bwd pair was tuned at (512, 1024) (r3 bwd A/B) and is NOT covered
+    by the probe10 forward sweep, so it keeps this ladder."""
     return 1024 if n_kv >= 4096 else 512
+
+
+def _auto_fwd_blocks(n_q: int, n_kv: int) -> tuple:
+    """Default FORWARD (block_q, block_k): probe10 swept the 23k-token
+    regime (runs/perf_r3_probe10.jsonl) — (1024, 2048) measures 38.0 TF/s
+    vs (512, 1024)'s 32.4 (+17%); each upgrade is independently positive
+    ((1024,1024) 36.7, (512,2048) 35.2). Bigger blocks amortize the
+    per-grid-cell serial chain (probe9) over more MXU work. Thresholds
+    keep short shapes on the small blocks so padding never exceeds ~2x:
+    block_q 1024 needs n_q >= 8192 (heads are folded into n_q, so the
+    16-frame 1025-token sampling shape with 16 heads already qualifies);
+    block_k 2048 needs n_kv >= 16384 (the padded-kv overhead at 23041
+    tokens is 6.7%, already inside the measured win)."""
+    block_q = 1024 if n_q >= 8192 else 512
+    if n_kv >= 16384:
+        block_k = 2048
+    elif n_kv >= 4096:
+        block_k = 1024
+    else:
+        block_k = 512
+    return block_q, block_k
 
 
 def flash_mqa(
@@ -391,7 +416,7 @@ def flash_mqa(
     v: jnp.ndarray,
     *,
     sm_scale: float = 1.0,
-    block_q: int = 512,
+    block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
     bwd_impl: str = "auto",  # "auto" | "pallas" | "xla_scan"
@@ -410,8 +435,11 @@ def flash_mqa(
         kernel launches), and ties at 5.7k tokens
 
     "auto" applies that rule at trace time from the static batch dim."""
+    auto_q, auto_k = _auto_fwd_blocks(q.shape[1], k.shape[1])
+    if block_q is None:
+        block_q = auto_q
     if block_k is None:
-        block_k = _auto_block_k(k.shape[1])
+        block_k = auto_k
     if bwd_block_k is None:
         bwd_block_k = _auto_block_k(k.shape[1])
     if bwd_impl == "auto":
@@ -439,8 +467,8 @@ def _flash_mqa_fwd_only(
     use_exp2: bool = False,
 ) -> jnp.ndarray:
     """Streaming softmax(q k^T * scale) v with one shared kv head.
-    (block_k default applies when called directly; flash_mqa/mqa_attention
-    pick it adaptively via _auto_block_k.)
+    (block defaults apply when called directly; flash_mqa/mqa_attention
+    pick them adaptively via _auto_fwd_blocks.)
 
     Handles arbitrary (unaligned) sequence lengths by padding to block
     multiples; padding keys are masked, padding queries produce garbage rows
@@ -527,7 +555,7 @@ def mqa_attention(
     v: jnp.ndarray,  # (b, m, d)
     *,
     sm_scale: float,
-    block_q: int = 512,
+    block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
     bwd_impl: str = "auto",

@@ -620,3 +620,39 @@ def test_flash_mqa_negative_logits_unaligned():
     got = flash_mqa(q, k, v, sm_scale=scale, block_q=32, block_k=32,
                     interpret=True)  # 37 -> pad 64, padded logits = 0 > real
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_auto_fwd_blocks_thresholds():
+    """probe10 (runs/perf_r3_probe10.jsonl): (1024, 2048) fwd blocks win
+    at the 23k-token regime; short shapes keep the small blocks so
+    padding stays bounded. The bwd ladder is separate (_auto_block_k)."""
+    from dalle2_video_tpu.ops.pallas.flash_mqa import (
+        _auto_block_k, _auto_fwd_blocks,
+    )
+
+    # 23k-token SR bottleneck, 16 heads folded: both upgrades apply
+    assert _auto_fwd_blocks(23040 * 16, 23041) == (1024, 2048)
+    # 16-frame sampling shape (1025 tokens, 16 heads): big q, small kv
+    assert _auto_fwd_blocks(1025 * 16, 1026) == (1024, 512)
+    # tiny test shapes stay small both ways
+    assert _auto_fwd_blocks(700, 515) == (512, 512)
+    # mid-range kv keeps the probe19 1024 block
+    assert _auto_fwd_blocks(8192, 5000) == (1024, 1024)
+    # the bwd ladder is unchanged by probe10
+    assert _auto_block_k(23041) == 1024
+    assert _auto_block_k(1026) == 512
+
+
+def test_flash_mqa_large_q_block_padding():
+    """block_q larger than n_q (the auto choice at folded-head sampling
+    shapes): padded garbage q rows must be sliced off exactly."""
+    d = 32
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (1, 300, d))
+    k = jax.random.normal(kk, (1, 170, d))
+    v = jax.random.normal(kv, (1, 170, d))
+    scale = d**-0.5
+    expected = jax.nn.softmax((q * scale) @ jnp.swapaxes(k, 1, 2), axis=-1) @ v
+    got = flash_mqa(q, k, v, sm_scale=scale, block_q=1024, block_k=512,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
