@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-RUN = Path("runs/distill")
+RUN = Path(sys.argv[sys.argv.index("--run") + 1]) \
+    if "--run" in sys.argv else Path("runs/distill")
 PHASES = (32, 16, 8, 4)  # student_steps per halving phase
 STEPS_PER_PHASE = int(sys.argv[sys.argv.index("--steps") + 1]) \
     if "--steps" in sys.argv else 400
