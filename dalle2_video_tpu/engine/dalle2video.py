@@ -64,13 +64,46 @@ class DALLE2Video:
         the prior on the negative text embed too and uses the resulting
         video embed as the decoder's CFG baseline (decoder.sample
         negative_video_embed) — needs cond_scale != 1."""
+        k_prior, k_dec = self._split_rng(rng, negative_text_embed)
+        video_embed, negative_video_embed = self._prior_embeds(
+            prior_params, k_prior, text_embed, text_encodings,
+            prior_cond_scale, negative_text_embed, jit_parts,
+        )
+        if negative_video_embed is not None:
+            sample_kwargs["negative_video_embed"] = negative_video_embed
+
+        text_enc = text_encodings if self.decoder_need_text_cond else None
+        return self.decoder.sample(
+            decoder_params, k_dec,
+            video_embed=video_embed,
+            text_encodings=text_enc,
+            cond_scale=cond_scale,
+            jit_stages=jit_parts,
+            **sample_kwargs,
+        )
+
+    def _split_rng(self, rng, negative_text_embed):
         from dalle2_video_tpu.utils import keys as keyutil
 
         if self.temporal_emb and keyutil.is_batched(rng):
             raise ValueError("per-row keys are not supported with temporal_emb")
         if self.temporal_emb and negative_text_embed is not None:
             raise ValueError("negative prompting unsupported with temporal_emb")
-        k_prior, k_dec = keyutil.split(rng)
+        return keyutil.split(rng)
+
+    def _prior_embeds(
+        self,
+        prior_params: Any,
+        k_prior: jax.Array,
+        text_embed: jnp.ndarray,
+        text_encodings: Optional[jnp.ndarray],
+        prior_cond_scale: float,
+        negative_text_embed: Optional[jnp.ndarray],
+        jit_parts: bool,
+    ):
+        """prior.sample on the text embed(s) -> (video_embed,
+        negative_video_embed-or-None). Shared by generate/generate_long."""
+        from dalle2_video_tpu.utils import keys as keyutil
 
         if self.temporal_emb:
             b, d, t = text_embed.shape
@@ -121,23 +154,60 @@ class DALLE2Video:
             # silently inert (its quirk #1, SURVEY §2e.1).
             video_embed = video_embed.reshape(b, t, d)
 
+        negative_video_embed = None
         if negative_text_embed is not None:
             # an independent key: the negative stream must not perturb the
             # positive stream's draws. Broadcast a shared (1, d) negative to
             # the batch so per-row keys stay aligned with prior rows.
             k_neg = keyutil.fold_in(k_prior, 1)
-            sample_kwargs["negative_video_embed"] = prior_sample(
+            negative_video_embed = prior_sample(
                 prior_params, k_neg,
                 jnp.broadcast_to(negative_text_embed, flat.shape),
                 None,
             )
+        return video_embed, negative_video_embed
 
+    def generate_long(
+        self,
+        prior_params: Any,
+        decoder_params: Dict[str, Any],
+        rng: jax.Array,
+        text_embed: jnp.ndarray,
+        *,
+        n_frames: int,
+        overlap: Optional[int] = None,
+        text_encodings: Optional[jnp.ndarray] = None,
+        cond_scale: float = 1.0,
+        prior_cond_scale: float = 1.0,
+        negative_text_embed: Optional[jnp.ndarray] = None,
+        jit_parts: bool = False,
+        **long_kwargs,
+    ) -> jnp.ndarray:
+        """text -> video of ARBITRARY length (beyond-reference; the
+        reference samples only the fixed training length,
+        dalle2_video.py:2053-2186): one prior pass, then autoregressive
+        sliding-window decoding (engine/longvideo.py). Extra kwargs
+        (inpaint_method, max_batch_size, stop_at_unet_number, ...) pass to
+        generate_long_video. Not supported with temporal_emb (the per-frame
+        embed grid is tied to the training window)."""
+        from dalle2_video_tpu.engine.longvideo import generate_long_video
+
+        if self.temporal_emb:
+            raise ValueError("generate_long is unsupported with temporal_emb")
+        k_prior, k_dec = self._split_rng(rng, negative_text_embed)
+        video_embed, negative_video_embed = self._prior_embeds(
+            prior_params, k_prior, text_embed, text_encodings,
+            prior_cond_scale, negative_text_embed, jit_parts,
+        )
         text_enc = text_encodings if self.decoder_need_text_cond else None
-        return self.decoder.sample(
-            decoder_params, k_dec,
+        return generate_long_video(
+            self.decoder, decoder_params, k_dec,
+            n_frames=n_frames,
+            overlap=overlap,
             video_embed=video_embed,
             text_encodings=text_enc,
             cond_scale=cond_scale,
+            negative_video_embed=negative_video_embed,
             jit_stages=jit_parts,
-            **sample_kwargs,
+            **long_kwargs,
         )

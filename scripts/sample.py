@@ -21,6 +21,11 @@ Negative prompting (CFG away from a concept; needs cond_scale > 1):
 
     python scripts/sample.py ... cond_scale=3.0 \
         negative_prompt="a blurry face"
+
+Long video (beyond-reference; the reference samples only the training
+frame count): autoregressive sliding-window decoding, engine/longvideo.py.
+
+    python scripts/sample.py ... n_frames=64 overlap=4
 """
 
 from __future__ import annotations
@@ -137,10 +142,25 @@ def main() -> None:
     wrapper = DALLE2Video(prior, decoder)
     # jit_parts: compiled prior + per-stage decoder programs (the fused
     # whole-cascade program can exceed the axon compile upload cap)
-    video = wrapper.generate(
-        prior_params, dec_params, k_gen, text_embed, cond_scale=cond_scale,
-        jit_parts=True, **inpaint_kwargs,
-    )
+    n_frames = cfg.get("n_frames")
+    if n_frames is not None and int(n_frames) > decoder.config.frame_numbers[-1]:
+        if "inpaint_video" in inpaint_kwargs:
+            raise SystemExit("n_frames= (long video) and inpaint_video= are "
+                             "mutually exclusive — the long-video path drives "
+                             "the inpainting machinery itself")
+        video = wrapper.generate_long(
+            prior_params, dec_params, k_gen, text_embed,
+            n_frames=int(n_frames),
+            overlap=(int(cfg["overlap"]) if cfg.get("overlap") else None),
+            cond_scale=cond_scale, jit_parts=True,
+            **{k: v for k, v in inpaint_kwargs.items()
+               if k == "negative_text_embed"},
+        )
+    else:
+        video = wrapper.generate(
+            prior_params, dec_params, k_gen, text_embed, cond_scale=cond_scale,
+            jit_parts=True, **inpaint_kwargs,
+        )
     np.save(out_path, np.asarray(video))
     log.info("wrote %s %s", out_path, video.shape)
 
