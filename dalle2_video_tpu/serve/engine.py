@@ -54,6 +54,12 @@ class GenRequest:
     # The negative prompt is per-row DATA like the prompt; only its
     # PRESENCE is trace-static (the extra prior/text-tower pass).
     negative_prompt: Optional[str] = None
+    # long video (engine/longvideo.py): n_frames beyond the decoder window
+    # via sliding-window extension. Trace-static — the window schedule and
+    # the response shape are baked per (n_frames, overlap) group; the
+    # underlying per-window compiled programs are SHARED across n_frames.
+    n_frames: Optional[int] = None
+    overlap: Optional[int] = None
 
     @property
     def trace_key(self) -> Tuple:
@@ -67,7 +73,8 @@ class GenRequest:
                 float(self.inpaint_guidance_weight),
             )
         return (float(self.cond_scale), self.ddim_steps, inp,
-                self.negative_prompt is not None)
+                self.negative_prompt is not None,
+                self.n_frames, self.overlap)
 
 
 def _next_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -90,7 +97,8 @@ class GenerationEngine:
         self._generate_batch = generate_batch
         self._buckets = tuple(sorted(buckets))
         self._default_key = (
-            float(default_cond_scale), default_ddim_steps, None, False
+            float(default_cond_scale), default_ddim_steps, None, False,
+            None, None,
         )
         self._lock = threading.Lock()  # one device program at a time
         self._batcher = MicroBatcher(
@@ -114,6 +122,14 @@ class GenerationEngine:
         THIS request), batch_size it rode in, device_ms of the call."""
         if req.inpaint_video is not None and req.inpaint_mask is None:
             raise ValueError("inpaint_video requires inpaint_mask")
+        if req.n_frames is not None and req.inpaint_video is not None:
+            raise ValueError(
+                "n_frames (long video) and inpaint_video are mutually "
+                "exclusive — the long-video path drives the inpainting "
+                "machinery itself"
+            )
+        if req.overlap is not None and req.n_frames is None:
+            raise ValueError("overlap requires n_frames")
         return self._batcher.submit(req)
 
     def generate(self, req: GenRequest, timeout: Optional[float] = None) -> dict:
@@ -122,7 +138,7 @@ class GenerationEngine:
     def warmup(self) -> dict:
         """Compile every bucket at the default trace key; returns per-
         bucket compile+run seconds (first call per shape = compile)."""
-        cond_scale, steps, _, _ = self._default_key
+        cond_scale, steps = self._default_key[:2]
         timings = {}
         for b in self._buckets:
             reqs = [
@@ -145,7 +161,7 @@ class GenerationEngine:
 
     # ------------------------------------------------------------- #
     def _run_group(self, key, reqs) -> list:
-        cond_scale, ddim_steps, inp, has_negative = key
+        cond_scale, ddim_steps, inp, has_negative, n_frames, overlap = key
         n = len(reqs)
         bucket = _next_bucket(n, self._buckets)
         padded = list(reqs) + [reqs[-1]] * (bucket - n)
@@ -167,6 +183,9 @@ class GenerationEngine:
             )
         if has_negative:
             extra["negative_prompts"] = [r.negative_prompt for r in padded]
+        if n_frames is not None:
+            extra["n_frames"] = n_frames
+            extra["overlap"] = overlap
         with self._lock:
             t0 = time.time()
             videos = self._generate_batch(

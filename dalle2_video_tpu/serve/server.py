@@ -9,7 +9,8 @@ thread on the engine Future while the micro-batcher coalesces):
                        "inpaint_mask_b64": <base64 .npy>?,
                        "inpaint_method": "replace"|"guided"?,
                        "inpaint_guidance_weight": float?,
-                       "negative_prompt": str?}
+                       "negative_prompt": str?,
+                       "n_frames": int?, "overlap": int?}
       omitted cond_scale/ddim_steps fall back to the engine's configured
       defaults (the trace key warmup() pre-compiled); ddim_steps=0
       explicitly requests the full DDPM schedule. `seed` is reproducible
@@ -21,6 +22,9 @@ thread on the engine Future while the micro-batcher coalesces):
       mask broadcastable to (T, H, W, 1), 1 = known region kept exactly
       (video extension / temporal interpolation / spatial inpainting —
       see engine/decoder.py)
+      Long video: n_frames beyond the decoder's training window generates
+      by sliding-window extension (engine/longvideo.py; optional overlap,
+      default a quarter window). Mutually exclusive with inpaint_video.
       -> {"shape": [...], "dtype": str, "batch_size": n, "bucket": b,
           "device_ms": ms, "data_b64": <base64 .npy>?}
   GET  /healthz       -> {"status": "ok", "device": "..."}
@@ -145,6 +149,14 @@ def make_server(
                         str(payload["negative_prompt"])
                         if payload.get("negative_prompt") else None
                     ),
+                    n_frames=(
+                        int(payload["n_frames"])
+                        if payload.get("n_frames") else None
+                    ),
+                    overlap=(
+                        int(payload["overlap"])
+                        if payload.get("overlap") else None
+                    ),
                 )
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as exc:
@@ -152,6 +164,9 @@ def make_server(
                 return
             try:
                 res = engine.generate(req, timeout=payload.get("timeout"))
+            except ValueError as exc:  # request-level validation -> 400
+                self._json(400, {"error": f"bad request: {exc}"})
+                return
             except Exception as exc:  # noqa: BLE001 — surface as 500
                 self._json(500, {"error": str(exc)})
                 return

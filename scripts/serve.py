@@ -131,7 +131,8 @@ def build_generate_batch(cfg, log):
                        inpaint_video=None, inpaint_mask=None,
                        inpaint_method="replace",
                        inpaint_guidance_weight=10.0,
-                       negative_prompts=None):
+                       negative_prompts=None,
+                       n_frames=None, overlap=None):
         from dalle2_video_tpu.utils import keys as keyutil
 
         tokens = jnp.asarray(tokenize(list(prompts)))
@@ -149,12 +150,13 @@ def build_generate_batch(cfg, log):
             inp = (tuple(inpaint_video.shape), tuple(inpaint_mask.shape),
                    str(inpaint_method), float(inpaint_guidance_weight))
         has_neg = negative_prompts is not None
-        sig = (float(cond_scale), ddim_steps, inp, has_neg)
+        sig = (float(cond_scale), ddim_steps, inp, has_neg, n_frames, overlap)
         fn = compiled.get(sig)
         if fn is None:
             _scale = float(cond_scale)
             _method = str(inpaint_method)
             _w = float(inpaint_guidance_weight)
+            _n_frames, _overlap = n_frames, overlap
 
             # one traced callable per signature: optional args appear in
             # the SAME order the dispatch passes them (inpaint pair, then
@@ -175,6 +177,16 @@ def build_generate_batch(cfg, log):
                     kw["inpaint_guidance_weight"] = _w
                 if has_neg:
                     kw["negative_text_embed"] = embed(opt.pop(0))
+                if _n_frames is not None:
+                    # long video (engine/longvideo.py): the sliding-window
+                    # host loop reuses the same per-window compiled
+                    # programs across ALL n_frames values
+                    return wrapper.generate_long(
+                        prior_params, dec_params, key_, embed(tokens_),
+                        n_frames=int(_n_frames),
+                        overlap=(int(_overlap) if _overlap else None),
+                        cond_scale=_scale, jit_parts=split, **kw,
+                    )
                 return wrapper.generate(
                     prior_params, dec_params, key_, embed(tokens_),
                     cond_scale=_scale, jit_parts=split, **kw,

@@ -325,6 +325,104 @@ def test_engine_negative_prompt_rides_as_row_data():
         eng.close()
 
 
+def test_engine_long_video_groups_and_plumbs():
+    """Long-video requests (engine/longvideo.py over serving): n_frames/
+    overlap are trace-static — rows group by them, the kwargs reach
+    generate_batch, and the response shape follows n_frames. Mixing
+    n_frames with inpaint_video (or overlap without n_frames) is
+    rejected at submit."""
+    calls = []
+
+    def gen(prompts, seeds, *, cond_scale, ddim_steps, **extra):
+        calls.append(dict(extra))
+        b = len(prompts)
+        t = extra.get("n_frames") or 2
+        return np.zeros((b, t, 4, 4, 3), np.float32)
+
+    eng = GenerationEngine(gen, buckets=(4,), max_wait_ms=40.0)
+    try:
+        futs = [
+            eng.submit(GenRequest("a", n_frames=9, overlap=2)),
+            eng.submit(GenRequest("b", n_frames=9, overlap=2)),
+            eng.submit(GenRequest("c", n_frames=5)),   # default overlap
+            eng.submit(GenRequest("plain")),
+        ]
+        res = [f.result(timeout=5.0) for f in futs]
+        assert res[0]["video"].shape == (9, 4, 4, 3)
+        assert res[1]["video"].shape == (9, 4, 4, 3)
+        assert res[2]["video"].shape == (5, 4, 4, 3)
+        assert res[3]["video"].shape == (2, 4, 4, 3)
+        long_calls = [c for c in calls if "n_frames" in c]
+        assert {(c["n_frames"], c["overlap"]) for c in long_calls} == {
+            (9, 2), (5, None)
+        }
+        # plain dispatch carried no long-video kwargs
+        assert any("n_frames" not in c for c in calls)
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            eng.submit(GenRequest(
+                "x", n_frames=9,
+                inpaint_video=np.zeros((2, 4, 4, 3), np.float32),
+                inpaint_mask=np.zeros((2, 1, 1, 1), np.float32),
+            ))
+        with pytest.raises(ValueError, match="overlap requires"):
+            eng.submit(GenRequest("x", overlap=2))
+    finally:
+        eng.close()
+
+
+def test_http_long_video_round_trip():
+    """n_frames/overlap parse from the JSON payload and the longer video
+    comes back."""
+    from dalle2_video_tpu.serve.server import make_server
+
+    def gen(prompts, seeds, *, cond_scale, ddim_steps, **extra):
+        b = len(prompts)
+        t = extra.get("n_frames") or 2
+        out = np.zeros((b, t, 4, 4, 3), np.float32)
+        out[:, 0, 0, 0, 0] = float(extra.get("overlap") or -1)
+        return out
+
+    eng = GenerationEngine(gen, buckets=(1, 2), max_wait_ms=10.0)
+    httpd = make_server(eng, "127.0.0.1", 0, device_name="cpu-test")
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        import base64
+        import io
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        body = json.dumps({"prompt": "long", "n_frames": 7, "overlap": 3})
+        conn.request("POST", "/v1/generate", body,
+                     {"Content-Type": "application/json"})
+        res = json.loads(conn.getresponse().read())
+        assert res["shape"] == [7, 4, 4, 3]
+        arr = np.load(io.BytesIO(base64.b64decode(res["data_b64"])))
+        assert arr[0, 0, 0, 0] == 3.0  # overlap reached generate_batch
+
+        # long video + inpainting in one request -> 400
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((2, 4, 4, 3), np.float32))
+        v64 = base64.b64encode(buf.getvalue()).decode("ascii")
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((2, 1, 1, 1), np.float32))
+        m64 = base64.b64encode(buf.getvalue()).decode("ascii")
+        body = json.dumps({"prompt": "x", "n_frames": 7,
+                           "inpaint_video_b64": v64,
+                           "inpaint_mask_b64": m64})
+        conn.request("POST", "/v1/generate", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        eng.close()
+
+
 def test_http_inpaint_round_trip():
     """Inpainting over the HTTP API: .npy-b64 video+mask in, known region
     echoed back in the payload; missing mask -> 400."""
