@@ -85,6 +85,8 @@ class SpatialConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from jax.ad_checkpoint import checkpoint_name
+
         b, t, h, w, c = x.shape
         if (
             self.impl == "pallas_small"
@@ -121,6 +123,11 @@ class SpatialConv(nn.Module):
                 )
             if bias is not None:
                 y = y + bias.astype(dt)
+            # named for remat policies (UNet3DConfig.remat_policy="conv"):
+            # conv results are the residuals worth saving — their operands
+            # are materialized in the forward anyway, so saving them is
+            # free; everything between convs can be recomputed fused.
+            y = checkpoint_name(y, "conv_out")
             return y.reshape(b, t, h, w, self.features)
         y = x.reshape(b * t, h, w, c)
         y = nn.Conv(
@@ -134,6 +141,7 @@ class SpatialConv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
         )(y)
+        y = checkpoint_name(y, "conv_out")  # see pallas path note
         return y.reshape(b, t, y.shape[1], y.shape[2], self.features)
 
 
@@ -356,7 +364,12 @@ class CrossAttention(nn.Module):
             attn = jax.nn.softmax(sim, axis=1)
             out = jnp.einsum("bmhn,bmhd->bnhd", attn, v).reshape(b, n, inner)
         out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, name="to_out")(out)
-        return ScaleOnlyLayerNorm(name="out_norm")(out)
+        out = ScaleOnlyLayerNorm(name="out_norm")(out)
+        from jax.ad_checkpoint import checkpoint_name
+
+        # named for remat policies ("conv_attn"): saving the attention
+        # result avoids replaying the softmax chain in the backward
+        return checkpoint_name(out, "attn_out")
 
 
 def rotary_embed(x: jnp.ndarray, positions: Optional[jnp.ndarray] = None,
@@ -487,7 +500,12 @@ class Attention(nn.Module):
             attn = jax.nn.softmax(sim, axis=-1)
             out = jnp.einsum("bhnm,bmd->bnhd", attn, v).reshape(b, n, inner)
         out = nn.Dense(self.dim, use_bias=False, kernel_init=torch_kernel_init, name="to_out")(out)
-        return ScaleOnlyLayerNorm(name="out_norm")(out)
+        out = ScaleOnlyLayerNorm(name="out_norm")(out)
+        from jax.ad_checkpoint import checkpoint_name
+
+        # named for remat policies ("conv_attn"): saving the attention
+        # result avoids replaying the softmax chain in the backward
+        return checkpoint_name(out, "attn_out")
 
 
 class JointSpaceTimeAttention(nn.Module):

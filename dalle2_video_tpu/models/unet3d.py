@@ -51,6 +51,27 @@ from dalle2_video_tpu.models.layers import (
 )
 
 
+def _remat_policy(name: str):
+    """Resolve UNet3DConfig.remat_policy to a jax.checkpoint policy
+    (None = jax.checkpoint default: save nothing)."""
+    cp = jax.checkpoint_policies
+    policies = {
+        "nothing": None,
+        "dots": cp.dots_saveable,
+        "dots_no_batch": cp.dots_with_no_batch_dims_saveable,
+        "conv": cp.save_only_these_names("conv_out"),
+        "conv_attn": cp.save_only_these_names("conv_out", "attn_out"),
+        "conv_dots": cp.save_from_both_policies(
+            cp.dots_saveable, cp.save_only_these_names("conv_out")
+        ),
+    }
+    if name not in policies:
+        raise ValueError(
+            f"unknown remat_policy {name!r}; one of {sorted(policies)}"
+        )
+    return policies[name]
+
+
 def _cast_tuple(v, length: int) -> Tuple:
     if isinstance(v, (tuple, list)):
         assert len(v) == length, f"expected {length} entries, got {v}"
@@ -102,6 +123,20 @@ class UNet3DConfig:
     final_conv_ksize: int = 1
     combine_upsample_fmaps: bool = False
     checkpoint_during_training: bool = False
+    # Saved-residual policy for the rematted resnet blocks (active only when
+    # checkpoint_during_training and the engine passes enable_checkpoint=True).
+    # The policy space is the byte-reduction lever for this bandwidth-bound
+    # model (docs/PERF.md r4 remat sweep):
+    #   "nothing"   — jax.checkpoint default: save block inputs only,
+    #                 recompute everything (convs included) in the backward
+    #   "dots"      — save dot_general results (Dense/attention matmuls)
+    #   "conv"      — save tensors tagged checkpoint_name "conv_out": conv
+    #                 results are materialized in the forward anyway, so
+    #                 saving them is free; the GN/FiLM/SiLU interiors and
+    #                 their f32 residuals are recomputed fused into the bwd
+    #   "conv_attn" — "conv" plus attention outputs ("attn_out")
+    #   "conv_dots" — union of "conv" and "dots"
+    remat_policy: str = "nothing"
     # False -> spatial-only (per-frame) attention everywhere; used by
     # UnetTemporalConv (frame-wise 2D unet + temporal conv mixer)
     joint_time_attention: bool = True
@@ -362,7 +397,11 @@ class UNet3D(nn.Module):
         skip_scale = (2**-0.5) if cfg.scale_skip_connection else 1.0
 
         use_remat = cfg.checkpoint_during_training and enable_checkpoint
-        Resnet = nn.remat(ResnetBlock3D) if use_remat else ResnetBlock3D
+        Resnet = (
+            nn.remat(ResnetBlock3D, policy=_remat_policy(cfg.remat_policy))
+            if use_remat
+            else ResnetBlock3D
+        )
 
         def maybe_temporal_attn(x, dim_layer: int, name: str):
             if cfg.temporal_attention:
@@ -460,7 +499,11 @@ class UNet3D(nn.Module):
 
             if not is_last and not cfg.memory_efficient:
                 x = make_downsample(dim_out, name=f"down{ind}_post")(x)
-            elif not cfg.memory_efficient:
+            else:
+                # reference always builds the 1x1 post conv when the
+                # downsample branch isn't taken — including in
+                # memory_efficient mode (dalle2_video.py:535-537, applied
+                # :916-917); dim_layer == dim_out there
                 x = SpatialConv(dim_out, 1, name=f"down{ind}_post")(x)
 
         # --- bottleneck: joint t*h*w attention (reference :563-581, :919-924)
