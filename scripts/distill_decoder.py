@@ -114,8 +114,8 @@ def main():
             (ck / "done").write_text("ok")
             results[f"phase{steps}_losses"] = losses
             results[f"phase{steps}_ms_per_step"] = round(
-                (time.time() - t0) / STEPS_PER_PHASE * 1e3, 1
-            )
+                (time.time() - t0) / max(STEPS_PER_PHASE, 1) * 1e3, 1
+            )  # --steps 0 = untrained-init control run (FVD scoring only)
             flush()
         ema_by_steps[steps] = dstate.ema
         # the EMA student is the next phase's teacher
