@@ -30,11 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-LOG = "runs/perf_r3_probe11.jsonl"
+LOG = "evidence/perf_r4/probe11.jsonl"  # durable witness (VERDICT r3 #2)
 N, H, D = 23040, 16, 32
 
 
 def record(**row):
+    os.makedirs(os.path.dirname(LOG), exist_ok=True)
     with open(LOG, "a") as f:
         f.write(json.dumps(row) + "\n")
     print("RESULT", json.dumps(row), flush=True)
@@ -85,6 +86,8 @@ def main():
     OLD, NEW = (512, 1024), (1024, 2048)
 
     # b=2: incumbents (probe1 re-baseline), then fwd transfer, then bwd sweep
+    run_vjp("r3p11_b2_fwd512x1024_bwd_xla", 2, OLD, bwd_impl="xla_scan")
+    run_vjp("r3p11_b2_fwd1024x2048_bwd_xla", 2, NEW, bwd_impl="xla_scan")
     run_vjp("r3p11_b2_fwd512x1024_bwd_pallas512x1024", 2, OLD,
             bwd_impl="pallas", bwd_block_q=512, bwd_block_k=1024)
     run_vjp("r3p11_b2_fwd1024x2048_bwd_pallas512x1024", 2, NEW,
