@@ -223,10 +223,16 @@ _flash_mqa_diff.defvjp(_flash_mqa_vjp_fwd, _flash_mqa_vjp_bwd)
 #     P = exp(S - lse);  dP = dO V^T;  dS = P * (dP - D),  D = rowsum(dO*O)
 #     dQ += dS K (* scale);  dK += dS^T Q_scaled;  dV += P^T dO
 # Padding discipline:
-#   * padded KV columns carry a WRONG unmasked p = exp(0 - lse) which can
-#     overflow when every real logit is very negative — the kvmask is
-#     applied INSIDE the exponent (s -> NEG_INF) when kv padding exists,
-#     so p is exactly 0 there; their dk/dv rows are garbage but sliced off
+#   * k is EDGE-padded (copies of the last real row, like the fwd), so a
+#     padded column's unmasked p = exp(s_last_real - lse) <= 1 in EVERY
+#     regime (lse >= s_last_real by definition of logsumexp) — the kvmask
+#     multiply then zeroes it exactly. This keeps the r2 overflow guard
+#     (the old zero-pad gave p = exp(0 - lse), infinite once lse < ~-87)
+#     WITHOUT the select-inside-the-exponent that r3's first fix used: that
+#     select measured 2.5x on the whole VJP (622 vs 245 ms at the b=2
+#     23k-token geometry, evidence/perf_r4/flash_bisect.jsonl — these
+#     kernels are VPU-bound in sim space, and the masked select broke the
+#     exp pipeline); their dk/dv rows are garbage but sliced off
 #   * padded Q rows of g are zeros -> dP = 0 and D = 0 there, so dS = 0 and
 #     they contribute nothing to dk/dv; their dq rows are sliced off; their
 #     padded lse of 0 keeps p finite (s = 0 rows)
@@ -248,12 +254,11 @@ def _mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, *refs,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if masked:
-        # mask INSIDE the exponent: padded columns carry s=0 but a real-row
-        # lse can be arbitrarily negative, and exp(0 - lse) overflows to inf
-        # once lse < ~-87 (then inf * 0 = NaN under a post-exp multiply)
-        s = jnp.where(kvmask_ref[0] != 0, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0])  # (block_q, block_k); lse column broadcast
+    if masked:
+        # finite by edge-padding (p <= 1 at padded columns — header note);
+        # the multiply zeroes them exactly at full VPU rate
+        p = p * kvmask_ref[0]
     dp = jax.lax.dot_general(
         g_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -289,9 +294,9 @@ def _mqa_bwd_dkv_kernel(q_ref, g_ref, lse_ref, delta_ref, k_ref, v_ref, *refs,
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if masked:
-        s = jnp.where(kvmask_ref[0] != 0, s, NEG_INF)  # see dq kernel note
     p = jnp.exp(s - lse_ref[0])
+    if masked:
+        p = p * kvmask_ref[0]  # finite by edge-padding — see dq kernel note
     dp = jax.lax.dot_general(
         g, v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -327,10 +332,15 @@ def _bwd_pallas(q, k, v, out, lse, g, *, sm_scale, interpret,
     )  # (b, n_q, 1)
 
     pad_q = lambda x: jnp.pad(x, ((0, 0), (0, n_q_pad - x.shape[1]), (0, 0)))
-    pad_kv = lambda x: jnp.pad(x, ((0, 0), (0, n_kv_pad - x.shape[1]), (0, 0)))
+    pad_kv = lambda x, **kw: jnp.pad(
+        x, ((0, 0), (0, n_kv_pad - x.shape[1]), (0, 0)), **kw
+    )
     qs_p, g_p = pad_q(qs), pad_q(g)
     lse_p, delta_p = pad_q(lse), pad_q(delta)
-    k_p, v_p = pad_kv(k), pad_kv(v)
+    # k edge-padded: padded columns then carry the last real row's logit,
+    # so their unmasked p = exp(s_last - lse) <= 1 (overflow-proof) and the
+    # kvmask multiply zeroes them exactly (kernel header note)
+    k_p, v_p = pad_kv(k, mode="edge"), pad_kv(v)
     masked = n_kv_pad != n_kv
     mask_args = []
     if masked:

@@ -223,14 +223,104 @@ def bench_preprocess():
     emit("preprocess_clips_per_sec", count / dt, "clips/s (cpu)")
 
 
+def bench_cascade():
+    """BASELINE target #5: 16x64x64 -> 64x128x128 Imagen-Video-style
+    temporal+spatial SR cascade (configs/cascade_sr.yaml geometry; the
+    reference could not run its cascade at all — README.md:10: ZeRO-3
+    OOM at batch_size=1 — so vs_baseline has no denominator).
+
+    Emits: SR-stage train step (frames/s/chip, output frames) and the
+    end-to-end two-stage DDIM-64 sample (frames/s/chip). Multi-chip
+    GSPMD data-parallel of the same step is exercised by
+    __graft_entry__.dryrun_multichip; this records the per-chip rate."""
+    from bench import peak_flops_for
+
+    from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
+    from dalle2_video_tpu.models import UNet3DConfig
+    from dalle2_video_tpu.train import DecoderTrainer, DecoderTrainerConfig
+
+    T2, S2 = 64, 128
+    unet1 = UNet3DConfig(dim=64, dim_mults=(1, 2, 4, 8), video_embed_dim=512,
+                         num_resnet_blocks=2, attn_heads=16, attn_dim_head=32)
+    # SR stage: joint attention sits at 64*16*16 = 16384 tokens — ride the
+    # Pallas flash-MQA path ("auto" picks it >= 4096 tokens on TPU)
+    unet2 = UNet3DConfig(dim=32, dim_mults=(1, 2, 4, 8), video_embed_dim=512,
+                         num_resnet_blocks=2, attn_heads=16, attn_dim_head=32,
+                         attention_impl="auto")
+    dec = VideoDecoder(VideoDecoderConfig(
+        unets=(unet1, unet2), frame_sizes=(64, S2), frame_numbers=(16, T2),
+        timesteps=1000, sample_timesteps=(64, 64), learned_variance=False,
+        flash_attention_sampling=True, sample_compute_dtype="bfloat16",
+    ))
+    trainer = DecoderTrainer(
+        dec, DecoderTrainerConfig(lr=3e-4, use_ema=True, bf16_compute=True)
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    peak = peak_flops_for(jax.devices()[0])
+
+    # --- SR-stage train step (configs/cascade_sr.yaml decoder.batch_size) --
+    for B in (4, 2):
+        try:
+            video = jax.random.uniform(jax.random.PRNGKey(1), (B, T2, S2, S2, 3))
+            emb = jax.random.normal(jax.random.PRNGKey(2), (B, 512))
+            step = jax.jit(lambda s, r: trainer.train_step(
+                s, r, video, video_embed=emb, unet_number=2))
+            t0 = time.time()
+            compiled = step.lower(state, jax.random.PRNGKey(3)).compile()
+            cost = compiled.cost_analysis()
+            flops = float(cost.get("flops", 0.0)) if cost else 0.0
+            print(f"cascade sr train compile: {time.time()-t0:.0f}s "
+                  f"(B={B})", file=sys.stderr)
+            st = state
+            for _ in range(2):
+                st, loss = compiled(st, jax.random.PRNGKey(4))
+            _sync(loss)
+            iters = 10
+            t0 = time.time()
+            for _ in range(iters):
+                st, loss = compiled(st, jax.random.PRNGKey(4))
+            _sync(loss)
+            dt = (time.time() - t0) / iters
+            mfu = flops / dt / peak if flops else 0.0
+            print(f"cascade sr train: {dt*1000:.1f} ms (B={B}), "
+                  f"MFU {mfu*100:.1f}%", file=sys.stderr)
+            emit("cascade_sr_train_frames_per_sec", B * T2 / dt,
+                 "frames/s/chip", mfu / 0.40)
+            del compiled, st
+            break
+        except Exception as e:  # noqa: BLE001 — OOM at B=4 -> retry B=2
+            print(f"cascade sr train B={B} failed: {str(e)[:200]}",
+                  file=sys.stderr)
+
+    # --- end-to-end 2-stage sample (base DDIM-64 -> SR DDIM-64, batch 1) --
+    emb1 = jax.random.normal(jax.random.PRNGKey(5), (1, 512))
+    sample = lambda r: dec.sample(
+        state.params, r, video_embed=emb1, batch_size=1, cond_scale=3.0,
+        jit_stages=True,  # one cached program per stage (CLAUDE.md: one
+        # big jit trips the remote-compile size limit)
+    )
+    t0 = time.time()
+    out = sample(jax.random.PRNGKey(6))
+    _sync(out)
+    print(f"cascade e2e compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
+    t0 = time.time()
+    out = sample(jax.random.PRNGKey(7))
+    _sync(out)
+    dt = time.time() - t0
+    assert out.shape == (1, T2, S2, S2, 3), out.shape
+    print(f"cascade e2e: {dt:.2f}s -> {T2/dt:.2f} frames/s", file=sys.stderr)
+    emit("cascade_e2e_frames_per_sec", T2 / dt, "frames/s/chip")
+
+
 SUITES = {
     "sampling": bench_sampling,
     "clip": bench_clip,
     "preprocess": bench_preprocess,
     "prior": bench_prior,
+    "cascade": bench_cascade,
 }
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["preprocess", "clip", "sampling", "prior"]
+    names = sys.argv[1:] or ["preprocess", "clip", "sampling", "prior", "cascade"]
     for n in names:
         SUITES[n]()
