@@ -40,12 +40,13 @@ NEG_INF = -1e30
 
 def _flash_mqa_kernel(
     q_ref,  # (BLOCK_Q, d) — q PRE-SCALED by sm_scale (saves a sim-size mul)
-    k_ref,  # (BLOCK_K, d)
-    v_ref,  # (BLOCK_K, 2d) — v columns then d MASKED-ONES columns (see below)
+    k_ref,  # (inner_kv * BLOCK_K, d)
+    v_ref,  # (inner_kv * BLOCK_K, 2d) — v then d MASKED-ONES cols (see below)
     *refs,
     d: int,
     save_lse: bool = False,
     use_exp2: bool = False,
+    inner_kv: int = 1,
 ):
     # Fused softmax denominator (r3): v is extended with d extra columns
     # that are 1 for real kv rows and 0 for padded rows, so the p @ v_ext
@@ -71,33 +72,44 @@ def _flash_mqa_kernel(
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
     q = q_ref[0]  # blocks carry a leading singleton batch dim
-    k = k_ref[0]
-    v = v_ref[0]  # (BLOCK_K, 2d) extended
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BLOCK_Q, BLOCK_K)
-
-    m_prev = m_scratch[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_cur)
-
     # use_exp2: q was pre-scaled by an extra log2(e), so s/m live in the
     # base-2 logit domain and the softmax weights are exp2(s - m) — the VPU
     # skips exp's internal x*log2(e) multiply on every sim element
     # (exp(x) == exp2(x * log2(e)); docs/PERF.md r3 fwd diet #2)
     expf = jnp.exp2 if use_exp2 else jnp.exp
-    p = expf(s - m_next)  # (BLOCK_Q, BLOCK_K)
-    alpha = expf(m_prev - m_next)
 
-    # alpha rescale covers the l columns too — they ARE accumulator state
-    acc = acc_scratch[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # inner_kv > 1: the grid cell's DMA block holds inner_kv kv sub-tiles,
+    # processed by an UNROLLED online-softmax loop. The (BLOCK_Q, BLOCK_K)
+    # sim tile — the VMEM item that caps block growth (probe19) — stays at
+    # sub-tile size while the per-grid-cell overhead (revolving-buffer
+    # bookkeeping, scratch init/finalize predication, grid serialization
+    # between cells — probe9's serial chain) is amortized over inner_kv x
+    # the MXU work. k/v sub-slices are static sublane-dim ref slices
+    # (Mosaic-safe; only LANE-offset slices are not — _finalize note).
+    sub = k_ref.shape[1] // inner_kv
+    for i in range(inner_kv):
+        k = k_ref[0, i * sub:(i + 1) * sub, :]
+        v = v_ref[0, i * sub:(i + 1) * sub, :]  # (sub, 2d) extended
 
-    m_scratch[:] = m_next
-    acc_scratch[:] = acc
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BLOCK_Q, sub)
+
+        m_prev = m_scratch[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+
+        p = expf(s - m_next)  # (BLOCK_Q, sub)
+        alpha = expf(m_prev - m_next)
+
+        # alpha rescale covers the l columns too — they ARE accumulator state
+        acc = acc_scratch[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        m_scratch[:] = m_next
+        acc_scratch[:] = acc
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
@@ -123,33 +135,33 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
 )
 def _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret, bwd_impl,
-                    bwd_block_q, bwd_block_k):
+                    bwd_block_q, bwd_block_k, inner_kv):
     return _flash_mqa_fwd_only(
         q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        interpret=interpret,
+        interpret=interpret, inner_kv=inner_kv,
     )
 
 
 def _flash_mqa_vjp_fwd(q, k, v, sm_scale, block_q, block_k, interpret, bwd_impl,
-                       bwd_block_q, bwd_block_k):
+                       bwd_block_q, bwd_block_k, inner_kv):
     if bwd_impl == "pallas":
         out, lse = _flash_mqa_fwd_only(
             q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-            interpret=interpret, save_lse=True,
+            interpret=interpret, save_lse=True, inner_kv=inner_kv,
         )
         return out, (q, k, v, out, lse)
     out = _flash_mqa_fwd_only(
         q, k, v, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        interpret=interpret,
+        interpret=interpret, inner_kv=inner_kv,
     )
     return out, (q, k, v, None, None)
 
 
 def _flash_mqa_vjp_bwd(sm_scale, block_q, block_k, interpret, bwd_impl,
-                       bwd_block_q, bwd_block_k, residuals, g):
+                       bwd_block_q, bwd_block_k, inner_kv, residuals, g):
     q, k, v, out, lse = residuals
     if bwd_impl == "pallas":
         return _bwd_pallas(
@@ -432,6 +444,7 @@ def flash_mqa(
     bwd_impl: str = "auto",  # "auto" | "pallas" | "xla_scan"
     bwd_block_q: int = 512,
     bwd_block_k: Optional[int] = None,
+    inner_kv: int = 1,
 ) -> jnp.ndarray:
     """Differentiable flash MQA: Pallas streaming forward + a backward
     chosen per GEOMETRY (r3 probes 1/5, runs/perf_r3_probe{1,5}.jsonl):
@@ -455,13 +468,14 @@ def flash_mqa(
     if bwd_impl == "auto":
         bwd_impl = "pallas" if q.shape[0] >= 2 else "xla_scan"
     return _flash_mqa_diff(q, k, v, sm_scale, block_q, block_k, interpret,
-                           bwd_impl, bwd_block_q, bwd_block_k)
+                           bwd_impl, bwd_block_q, bwd_block_k, inner_kv)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sm_scale", "block_q", "block_k", "interpret", "save_lse", "use_exp2",
+        "inner_kv",
     ),
 )
 def _flash_mqa_fwd_only(
@@ -475,6 +489,7 @@ def _flash_mqa_fwd_only(
     interpret: bool = False,
     save_lse: bool = False,
     use_exp2: bool = False,
+    inner_kv: int = 1,
 ) -> jnp.ndarray:
     """Streaming softmax(q k^T * scale) v with one shared kv head.
     (block defaults apply when called directly; flash_mqa/mqa_attention
@@ -493,8 +508,11 @@ def _flash_mqa_fwd_only(
     scale = sm_scale * (1.4426950408889634 if use_exp2 else 1.0)
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
+    # each grid cell consumes inner_kv sub-tiles of block_k — the DMA block
+    # (and the kv padding granularity) is their product
+    kv_tile = block_k * inner_kv
     n_q_pad = _round_up(n_q, block_q)
-    n_kv_pad = _round_up(n_kv, block_k)
+    n_kv_pad = _round_up(n_kv, kv_tile)
     if n_q_pad != n_q:
         q = jnp.pad(q, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
     if n_kv_pad != n_kv:
@@ -517,12 +535,12 @@ def _flash_mqa_fwd_only(
         axis=-1,
     )
 
-    grid = (b, n_q_pad // block_q, n_kv_pad // block_k)
+    grid = (b, n_q_pad // block_q, n_kv_pad // kv_tile)
 
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
-        pl.BlockSpec((1, block_k, d), lambda bi, qi, ki: (bi, ki, 0)),
-        pl.BlockSpec((1, block_k, 2 * d), lambda bi, qi, ki: (bi, ki, 0)),
+        pl.BlockSpec((1, kv_tile, d), lambda bi, qi, ki: (bi, ki, 0)),
+        pl.BlockSpec((1, kv_tile, 2 * d), lambda bi, qi, ki: (bi, ki, 0)),
     ]
     args = [q, k, v_ext]
 
@@ -538,7 +556,8 @@ def _flash_mqa_fwd_only(
 
     res = pl.pallas_call(
         functools.partial(
-            _flash_mqa_kernel, d=d, save_lse=save_lse, use_exp2=use_exp2
+            _flash_mqa_kernel, d=d, save_lse=save_lse, use_exp2=use_exp2,
+            inner_kv=inner_kv,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -571,6 +590,7 @@ def mqa_attention(
     bwd_impl: str = "auto",
     bwd_block_q: int = 512,
     bwd_block_k: Optional[int] = None,
+    inner_kv: int = 1,
 ) -> jnp.ndarray:
     """MQA wrapper matching models.layers.Attention's einsum semantics:
     folds q heads into the query-sequence axis (every head shares kv), runs
@@ -581,5 +601,6 @@ def mqa_attention(
         q_folded, k, v,
         sm_scale=sm_scale, block_q=block_q, block_k=block_k, interpret=interpret,
         bwd_impl=bwd_impl, bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k,
+        inner_kv=inner_kv,
     )
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Any, Callable, Hashable, List, Optional, Sequence
 
@@ -65,6 +65,13 @@ class MicroBatcher:
     run_batch(key, items) -> sequence of per-item results (same length,
     same order). Exceptions from run_batch fail every future in that
     batch (callers see the exception; the worker keeps serving).
+
+    ``dispatch_workers > 1`` runs up to that many run_batch calls
+    CONCURRENTLY (a thread pool fed by the drain loop, gated by a
+    semaphore for backpressure) — the multi-replica serving mode where
+    run_batch draws an idle device replica from a pool
+    (serve/engine.py). The default of 1 keeps the original fully
+    serialized single-worker semantics.
     """
 
     def __init__(
@@ -74,6 +81,7 @@ class MicroBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 10.0,
         key_fn: Callable[[Any], Hashable] = lambda item: None,
+        dispatch_workers: int = 1,
     ):
         self._run_batch = run_batch
         self._max_batch = int(max_batch)
@@ -81,6 +89,17 @@ class MicroBatcher:
         self._key_fn = key_fn
         self._q: "queue.Queue" = queue.Queue()
         self.stats = BatcherStats()
+        self._stats_lock = threading.Lock()  # errors bump from dispatch threads
+        self._dispatch_workers = max(1, int(dispatch_workers))
+        self._executor = (
+            ThreadPoolExecutor(
+                max_workers=self._dispatch_workers,
+                thread_name_prefix="batch-dispatch",
+            )
+            if self._dispatch_workers > 1
+            else None
+        )
+        self._inflight = threading.Semaphore(self._dispatch_workers)
         self._closed = threading.Event()
         self._worker = threading.Thread(
             target=self._loop, name="microbatcher", daemon=True
@@ -99,6 +118,8 @@ class MicroBatcher:
         self._closed.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=timeout)
+        if self._executor is not None:
+            self._executor.shutdown(wait=True)
 
     # ------------------------------------------------------------- #
     def _drain(self, first) -> List[tuple]:
@@ -146,17 +167,35 @@ class MicroBatcher:
             items = [item for _, item, _ in batch]
             futures = [fut for _, _, fut in batch]
             self.stats.record_batch(len(items))
-            try:
-                results = self._run_batch(key, items)
-                if len(results) != len(items):
-                    raise RuntimeError(
-                        f"run_batch returned {len(results)} results for "
-                        f"{len(items)} items"
-                    )
-                for fut, res in zip(futures, results):
-                    fut.set_result(res)
-            except Exception as exc:  # noqa: BLE001 — fail the batch, keep serving
+            if self._executor is None:
+                self._dispatch(key, items, futures)
+            else:
+                # semaphore backpressure: once every dispatch worker is
+                # busy the drain loop blocks here, so the queue (not the
+                # pool) absorbs the burst and grouping stays effective
+                self._inflight.acquire()
+
+                def run(key=key, items=items, futures=futures):
+                    try:
+                        self._dispatch(key, items, futures)
+                    finally:
+                        self._inflight.release()
+
+                self._executor.submit(run)
+
+    def _dispatch(self, key, items, futures) -> None:
+        try:
+            results = self._run_batch(key, items)
+            if len(results) != len(items):
+                raise RuntimeError(
+                    f"run_batch returned {len(results)} results for "
+                    f"{len(items)} items"
+                )
+            for fut, res in zip(futures, results):
+                fut.set_result(res)
+        except Exception as exc:  # noqa: BLE001 — fail the batch, keep serving
+            with self._stats_lock:
                 self.stats.errors += len(items)
-                for fut in futures:
-                    if not fut.done():
-                        fut.set_exception(exc)
+            for fut in futures:
+                if not fut.done():
+                    fut.set_exception(exc)

@@ -24,11 +24,11 @@ plain callables need not accept them.
 
 from __future__ import annotations
 
-import threading
+import queue
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -85,27 +85,46 @@ def _next_bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 class GenerationEngine:
+    """``generate_batch`` may be ONE callable (single chip) or a sequence
+    of callables, one per device replica (e.g. the same sampler jitted
+    with ``device=jax.devices()[i]``, or per-host endpoints). Replicas
+    live in an idle pool; up to ``len(replicas)`` trace-key groups run
+    concurrently, so distinct keys no longer serialize behind one device
+    lock the day multi-chip serving exists. One replica == the original
+    fully serialized behavior."""
+
     def __init__(
         self,
-        generate_batch: Callable[..., np.ndarray],
+        generate_batch: Union[Callable[..., np.ndarray],
+                              Sequence[Callable[..., np.ndarray]]],
         *,
         buckets: Sequence[int] = (1, 2, 4, 8),
         max_wait_ms: float = 10.0,
         default_cond_scale: float = 1.0,
         default_ddim_steps: Optional[int] = None,
     ):
-        self._generate_batch = generate_batch
+        fns = (list(generate_batch)
+               if isinstance(generate_batch, (list, tuple))
+               else [generate_batch])
+        if not fns:
+            raise ValueError("generate_batch: need at least one callable")
+        self._n_replicas = len(fns)
+        # FIFO pool: get/put rotates, so sequential groups round-robin
+        # across replicas (and warmup visits every one)
+        self._replicas: "queue.Queue" = queue.Queue()
+        for fn in fns:
+            self._replicas.put(fn)
         self._buckets = tuple(sorted(buckets))
         self._default_key = (
             float(default_cond_scale), default_ddim_steps, None, False,
             None, None,
         )
-        self._lock = threading.Lock()  # one device program at a time
         self._batcher = MicroBatcher(
             self._run_group,
             max_batch=self._buckets[-1],
             max_wait_ms=max_wait_ms,
             key_fn=lambda req: req.trace_key,
+            dispatch_workers=self._n_replicas,
         )
 
     # ------------------------------------------------------------- #
@@ -136,21 +155,28 @@ class GenerationEngine:
         return self.submit(req).result(timeout=timeout)
 
     def warmup(self) -> dict:
-        """Compile every bucket at the default trace key; returns per-
-        bucket compile+run seconds (first call per shape = compile)."""
+        """Compile every bucket at the default trace key on EVERY replica;
+        returns per-bucket compile+run seconds summed over replicas (first
+        call per shape per replica = compile)."""
         cond_scale, steps = self._default_key[:2]
-        timings = {}
+        timings: dict = {}
+        # replicas INSIDE buckets: n_replicas consecutive _run_group calls
+        # rotate through the whole FIFO pool, so each bucket shape compiles
+        # on every replica (outer-loop order would alias rotation parity)
         for b in self._buckets:
-            reqs = [
-                GenRequest("warmup", seed=i, cond_scale=cond_scale,
-                           ddim_steps=steps)
-                for i in range(b)
-            ]
-            t0 = time.time()
-            # drive through the group runner directly (bypass the queue so
-            # warmup shapes are exactly the bucket shapes)
-            self._run_group(self._default_key, reqs)
-            timings[b] = round(time.time() - t0, 3)
+            for _ in range(self._n_replicas):
+                reqs = [
+                    GenRequest("warmup", seed=i, cond_scale=cond_scale,
+                               ddim_steps=steps)
+                    for i in range(b)
+                ]
+                t0 = time.time()
+                # drive through the group runner directly (bypass the queue
+                # so warmup shapes are exactly the bucket shapes)
+                self._run_group(self._default_key, reqs)
+                timings[b] = round(
+                    timings.get(b, 0.0) + time.time() - t0, 3
+                )
         return timings
 
     def stats(self) -> dict:
@@ -186,13 +212,19 @@ class GenerationEngine:
         if n_frames is not None:
             extra["n_frames"] = n_frames
             extra["overlap"] = overlap
-        with self._lock:
+        # draw an idle replica (blocks when all are busy — the batcher's
+        # dispatch semaphore matches the pool size, so this only briefly
+        # races between dispatch threads)
+        fn = self._replicas.get()
+        try:
             t0 = time.time()
-            videos = self._generate_batch(
+            videos = fn(
                 prompts, seeds, cond_scale=cond_scale, ddim_steps=ddim_steps,
                 **extra,
             )
             device_ms = (time.time() - t0) * 1e3
+        finally:
+            self._replicas.put(fn)
         videos = np.asarray(videos)[:n]
         return [
             {"video": videos[i], "batch_size": n, "bucket": bucket,

@@ -29,6 +29,50 @@ def test_flash_mqa_matches_xla(n, m):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
 
 
+@pytest.mark.parametrize("n,m,inner", [(128, 256, 2), (96, 200, 2), (64, 130, 4)])
+def test_flash_mqa_inner_kv_matches_xla(n, m, inner):
+    """inner_kv > 1 (grid-cell kv amortization, roadmap item 2): the
+    unrolled sub-tile online softmax is exact vs XLA, including when kv
+    padding lands inside the LAST sub-tile of the DMA block (m=200 with
+    block_k=64, inner=2 pads 200->256: final sub-tile half-padded; m=130
+    with inner=4 pads to 256: entire trailing sub-tiles padded)."""
+    d = 32
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (2, n, d))
+    k = jax.random.normal(kk, (2, m, d))
+    v = jax.random.normal(kv, (2, m, d))
+    scale = d**-0.5
+    expected = jax.nn.softmax((q * scale) @ jnp.swapaxes(k, 1, 2), axis=-1) @ v
+    got = flash_mqa(q, k, v, sm_scale=scale, block_q=64, block_k=64,
+                    interpret=True, inner_kv=inner)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_flash_mqa_inner_kv_gradients():
+    """inner_kv forward composes with BOTH backwards (the saved lse from the
+    inner-kv forward must be bit-consistent with what the Pallas backward
+    kernels recompute at their own blocks)."""
+    d, n, m = 32, 96, 200
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(kq, (2, n, d))
+    k = jax.random.normal(kk, (2, m, d))
+    v = jax.random.normal(kv, (2, m, d))
+    g = jax.random.normal(kg, (2, n, d))
+    scale = d**-0.5
+
+    def ref(q, k, v):
+        return jax.nn.softmax((q * scale) @ jnp.swapaxes(k, 1, 2), axis=-1) @ v
+
+    want = jax.vjp(ref, q, k, v)[1](g)
+    for bwd in ("pallas", "xla_scan"):
+        fn = lambda q, k, v: flash_mqa(
+            q, k, v, sm_scale=scale, block_q=64, block_k=64, interpret=True,
+            bwd_impl=bwd, bwd_block_q=64, bwd_block_k=64, inner_kv=2)
+        got = jax.vjp(fn, q, k, v)[1](g)
+        for w, gg in zip(want, got):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(w), atol=3e-5)
+
+
 def test_flash_mqa_exp2_matches_exp():
     """Base-2 online softmax (use_exp2: log2(e) folded into the q prescale,
     exp2 inside the kernel) is exact — output AND the natural-domain lse the

@@ -165,6 +165,58 @@ def test_engine_warmup_compiles_each_bucket():
     eng.close()
 
 
+def test_engine_replica_pool_runs_groups_concurrently():
+    """Multi-replica serving (one callable per device): two groups with
+    DIFFERENT trace keys overlap in time on distinct replicas instead of
+    serializing behind one device lock. Each replica callable blocks
+    until the other has also entered — only true concurrency passes."""
+    barrier = threading.Barrier(2, timeout=5.0)
+    served = []
+
+    def make_replica(tag):
+        def gen(prompts, seeds, **kw):
+            barrier.wait()  # deadlocks (-> Barrier timeout) if serialized
+            served.append(tag)
+            return _fake_generate(prompts, seeds, **kw)
+
+        return gen
+
+    eng = GenerationEngine(
+        [make_replica("a"), make_replica("b")],
+        buckets=(1,), max_wait_ms=5.0,
+    )
+    futs = [
+        eng.submit(GenRequest("p0", cond_scale=1.0)),   # key 1
+        eng.submit(GenRequest("p1", cond_scale=3.0)),   # key 2
+    ]
+    results = [f.result(timeout=10.0) for f in futs]
+    assert sorted(served) == ["a", "b"]  # one group per replica
+    # per-request video rows (b sliced off) carry their group's cond_scale
+    assert {float(r["video"][1, 0, 0, 0]) for r in results} == {1.0, 3.0}
+    eng.close()
+
+
+def test_engine_multi_replica_warmup_compiles_every_replica():
+    shapes = {"a": [], "b": []}
+
+    def make_replica(tag):
+        def gen(prompts, seeds, **kw):
+            shapes[tag].append(len(prompts))
+            return _fake_generate(prompts, seeds, **kw)
+
+        return gen
+
+    eng = GenerationEngine(
+        [make_replica("a"), make_replica("b")], buckets=(1, 2),
+    )
+    timings = eng.warmup()
+    assert sorted(timings) == [1, 2]
+    # every replica compiled every bucket exactly once
+    assert sorted(shapes["a"]) == [1, 2]
+    assert sorted(shapes["b"]) == [1, 2]
+    eng.close()
+
+
 def test_engine_inpaint_stacks_rows_and_separates_from_plain():
     """Inpainting requests: tensors stack across the group (padding
     repeats the last row), the inpaint kwargs reach generate_batch, and
