@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from dalle2_video_tpu.engine.conditioner import noise_video
 from dalle2_video_tpu.engine.decoder import VideoDecoder, ddim_time_pairs
 from dalle2_video_tpu.ops.video import resize_video, resize_video_time
 
@@ -75,12 +76,10 @@ class DistillTrainer:
                 "distillation with self-conditioning is not supported — "
                 "the teacher two-step would need chained self-cond state"
             )
-        if decoder.unet_configs[i].lowres_cond:
-            raise NotImplementedError(
-                "distilling a lowres-conditioned SR stage is not supported "
-                "yet — the distill loss does not build lowres_cond_video / "
-                "lowres_noise_level (base-stage distillation only)"
-            )
+        # lowres-conditioned SR stages ARE supported: the loss builds the
+        # SAMPLING-time conditioning (fixed noise level, no blur) so the
+        # distilled student drops into sample()'s cascade unchanged —
+        # see _lowres_cond_kwargs.
         if cfg.teacher_cond_scale != 1.0 and not decoder.can_classifier_guidance:
             raise ValueError(
                 "teacher_cond_scale > 1 needs a teacher trained with "
@@ -182,6 +181,52 @@ class DistillTrainer:
         return a_t * x0 + s_t * eps
 
     # ------------------------------------------------------------------ #
+    def _lowres_cond_kwargs(
+        self, rng: jax.Array, video01: jnp.ndarray, teacher_params
+    ) -> Dict[str, Any]:
+        """SAMPLING-consistent lowres conditioning for an SR stage: the
+        student will be dropped into sample()'s cascade, so the distill
+        loss conditions exactly the way engine/decoder.py's sample path
+        does (:1148-1174) — simulate the previous stage's output by
+        downsampling the [0,1] clip to stage i-1 geometry, resize up to
+        this stage, noise at the FIXED ``lowres_noise_sample_level`` (no
+        blur, no random level: those are train-time augmentations), VAE-
+        encode for latent stages / normalize otherwise."""
+        dec, i = self.decoder, self.i
+        dcfg = dec.config
+        out: Dict[str, Any] = {}
+        prev = resize_video(
+            video01, dcfg.frame_sizes[i - 1], method="nearest",
+            clamp_range=(0.0, 1.0),
+        )
+        prev = resize_video_time(
+            prev, dcfg.frame_numbers[i - 1], method="nearest"
+        )
+        lowres = resize_video(
+            prev, dcfg.frame_sizes[i], method="nearest", clamp_range=(0.0, 1.0)
+        )
+        lowres = resize_video_time(
+            lowres, dcfg.frame_numbers[i], method="nearest"
+        )
+        if dec.use_noise_for_lowres[i]:
+            level = jnp.full(
+                (video01.shape[0],),
+                int(dcfg.lowres_noise_sample_level * 1000),
+                jnp.int32,
+            )
+            lowres, _ = noise_video(
+                rng, lowres, dec.lowres_noise_schedule,
+                dec.lowres_configs[i], level,
+            )
+            out["lowres_noise_level"] = level
+        vae = dec.vaes[i]
+        if vae.is_latent:
+            lowres = vae.encode(teacher_params.get(f"vae_{i}"), lowres)
+        else:
+            lowres = dec._normalize(lowres)
+        out["lowres_cond_video"] = lowres
+        return out
+
     def loss(
         self,
         student_params,
@@ -198,6 +243,14 @@ class DistillTrainer:
         sched = dec.schedules[i]
         b = video.shape[0]
 
+        k_seg, k_noise, k_lowres = jax.random.split(rng, 3)
+
+        lowres_kwargs: Dict[str, Any] = {}
+        if ucfg.lowres_cond:
+            lowres_kwargs = self._lowres_cond_kwargs(
+                k_lowres, video, teacher_params
+            )
+
         video = resize_video(video, dcfg.frame_sizes[i], method="nearest")
         video = resize_video_time(video, dcfg.frame_numbers[i], method="nearest")
         vae = dec.vaes[i]
@@ -205,8 +258,6 @@ class DistillTrainer:
         if not vae.is_latent:
             video = dec._normalize(video)
         nd = video.ndim
-
-        k_seg, k_noise = jax.random.split(rng)
         seg = jax.random.randint(k_seg, (b,), 0, self.t_starts.shape[0])
         t, t_mid, t_end = self.t_starts[seg], self.t_mids[seg], self.t_ends[seg]
 
@@ -216,6 +267,7 @@ class DistillTrainer:
         cond_kwargs = dict(
             video_embed=video_embed,
             text_encodings=text_encodings if ucfg.cond_on_text_encodings else None,
+            **lowres_kwargs,
         )
 
         # teacher: two guided DDIM steps (no grad path — params are a

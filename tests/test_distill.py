@@ -154,6 +154,52 @@ def test_guided_teacher_traces():
     assert np.isfinite(float(loss))
 
 
+def test_sr_stage_distillation():
+    """Lowres-conditioned SR stages distill too (r4: the former scope
+    guard is gone). The loss builds SAMPLING-consistent conditioning —
+    fixed lowres_noise_sample_level, prev-stage-geometry simulated lowres
+    — so teacher-init still starts at ~zero loss (the composition
+    property is conditioning-agnostic) and a step runs finite."""
+    unet = UNet3DConfig(
+        dim=8, dim_mults=(1, 2), attn_heads=2, attn_dim_head=4,
+        num_resnet_blocks=1, resnet_groups=4, video_embed_dim=EMB,
+        init_cross_embed=False, init_conv_ksize=3,
+    )
+    cfg = VideoDecoderConfig(
+        unets=(unet, unet), frame_sizes=(8, 16), frame_numbers=(T, T),
+        timesteps=20, use_noise_for_lowres_cond=True,
+    )
+    dec = VideoDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(0))
+    tr = DistillTrainer(dec, DistillConfig(student_steps=4, unet_number=2))
+
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 16, 16, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, EMB))
+
+    # conditioning matches the sample() path: fixed level, stage-i shapes
+    lk = tr._lowres_cond_kwargs(jax.random.PRNGKey(5), video, params)
+    assert lk["lowres_cond_video"].shape == (B, T, 16, 16, 3)
+    np.testing.assert_array_equal(
+        np.asarray(lk["lowres_noise_level"]),
+        int(dec.config.lowres_noise_sample_level * 1000),
+    )
+
+    loss = jax.jit(tr.loss)(
+        params["unet_1"], params, jax.random.PRNGKey(3), video,
+        video_embed=emb,
+    )
+    assert float(loss) < 1e-4, float(loss)
+
+    state = tr.init_state(params)
+    state, step_loss = jax.jit(tr.distill_step)(
+        state, params, jax.random.PRNGKey(4), video, video_embed=emb
+    )
+    assert np.isfinite(float(step_loss))
+    # the student swaps into the SR slot of the full param dict
+    sp = tr.student_decoder_params(state, params)
+    assert set(sp) == set(params)
+
+
 def test_guided_teacher_requires_cond_drop():
     # explicit zero conditional dropout (the reference DEFAULT is 0.1/0.5,
     # so the module-level fixture can in fact be guided)
