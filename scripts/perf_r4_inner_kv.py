@@ -70,21 +70,27 @@ def main() -> None:
     for bq, bk, inner in CONFIGS:
         @jax.jit
         def fwd(q, k, v, bq=bq, bk=bk, inner=inner):
+            # the CARRY is q and each step's output feeds it (x 0.0): without
+            # this data dependence XLA hoists the loop-invariant attention
+            # out of the scan and the timing measures ONE call / K (the
+            # first sweep's 230 TF/s "results" — above chip peak — were
+            # exactly this; evidence/perf_r4/inner_kv.jsonl v1 rows)
             def body(c, _):
-                o = mqa_attention(q, k, v, sm_scale=D**-0.5, block_q=bq,
+                o = mqa_attention(c, k, v, sm_scale=D**-0.5, block_q=bq,
                                   block_k=bk, inner_kv=inner)
                 # scalar reduction INSIDE the jit: bare Pallas outputs can
                 # report ready before execution on axon (CLAUDE.md)
-                return c, jnp.sum(o.astype(jnp.float32))
+                return c + 0.0 * o.astype(c.dtype), jnp.sum(
+                    o.astype(jnp.float32))
 
-            _, s = jax.lax.scan(body, 0.0, None, length=K)
+            _, s = jax.lax.scan(body, q, None, length=K)
             return jnp.sum(s)
 
         dt, compile_s = timed(fwd, q, k, v)
         tfs = flops / dt / 1e12
         results.append((tfs, bq, bk, inner))
-        emit(dict(kind="fwd", block_q=bq, block_k=bk, inner_kv=inner,
-                  ms=round(dt * 1e3, 2), tf_s=round(tfs, 1),
+        emit(dict(kind="fwd", harness="v2_chained", block_q=bq, block_k=bk,
+                  inner_kv=inner, ms=round(dt * 1e3, 2), tf_s=round(tfs, 1),
                   compile_s=round(compile_s)))
 
     results.sort(reverse=True)
