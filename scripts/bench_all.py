@@ -223,21 +223,19 @@ def bench_preprocess():
     emit("preprocess_clips_per_sec", count / dt, "clips/s (cpu)")
 
 
-def bench_cascade():
-    """BASELINE target #5: 16x64x64 -> 64x128x128 Imagen-Video-style
-    temporal+spatial SR cascade (configs/cascade_sr.yaml geometry; the
+def _cascade_decoder():
+    """BASELINE target #5 geometry: 16x64x64 -> 64x128x128 Imagen-Video-
+    style temporal+spatial SR cascade (configs/cascade_sr.yaml; the
     reference could not run its cascade at all — README.md:10: ZeRO-3
     OOM at batch_size=1 — so vs_baseline has no denominator).
 
-    Emits: SR-stage train step (frames/s/chip, output frames) and the
-    end-to-end two-stage DDIM-64 sample (frames/s/chip). Multi-chip
-    GSPMD data-parallel of the same step is exercised by
-    __graft_entry__.dryrun_multichip; this records the per-chip rate."""
-    from bench import peak_flops_for
-
+    The SR unet trains on (T=64, 128x128) activations — 16x the flagship
+    frame-volume per sample — so it rides the two capacity knobs that the
+    r4 remat sweep quantified (evidence/perf_r4/remat_sweep.jsonl):
+    remat_policy="nothing" (peak 14.4 -> 8.6 GB on the flagship step) and
+    memory_efficient=True (downsample-first, full-res convs avoided)."""
     from dalle2_video_tpu.engine.decoder import VideoDecoder, VideoDecoderConfig
     from dalle2_video_tpu.models import UNet3DConfig
-    from dalle2_video_tpu.train import DecoderTrainer, DecoderTrainerConfig
 
     T2, S2 = 64, 128
     unet1 = UNet3DConfig(dim=64, dim_mults=(1, 2, 4, 8), video_embed_dim=512,
@@ -246,12 +244,29 @@ def bench_cascade():
     # Pallas flash-MQA path ("auto" picks it >= 4096 tokens on TPU)
     unet2 = UNet3DConfig(dim=32, dim_mults=(1, 2, 4, 8), video_embed_dim=512,
                          num_resnet_blocks=2, attn_heads=16, attn_dim_head=32,
-                         attention_impl="auto")
+                         attention_impl="auto", memory_efficient=True,
+                         checkpoint_during_training=True,
+                         remat_policy="nothing")
     dec = VideoDecoder(VideoDecoderConfig(
         unets=(unet1, unet2), frame_sizes=(64, S2), frame_numbers=(16, T2),
         timesteps=1000, sample_timesteps=(64, 64), learned_variance=False,
         flash_attention_sampling=True, sample_compute_dtype="bfloat16",
     ))
+    return dec, T2, S2
+
+
+def bench_cascade_sr():
+    """SR-stage train step (frames/s/chip over output frames). Multi-chip
+    GSPMD data-parallel of the same step is exercised by
+    __graft_entry__.dryrun_multichip; this records the per-chip rate.
+    Run as its own process (queue job): a train-step OOM can wedge the
+    axon device state for everything after it (observed r4: even
+    PRNGKey raised RESOURCE_EXHAUSTED after two OOMs)."""
+    from bench import peak_flops_for
+
+    from dalle2_video_tpu.train import DecoderTrainer, DecoderTrainerConfig
+
+    dec, T2, S2 = _cascade_decoder()
     trainer = DecoderTrainer(
         dec, DecoderTrainerConfig(lr=3e-4, use_ema=True, bf16_compute=True)
     )
@@ -259,7 +274,7 @@ def bench_cascade():
     peak = peak_flops_for(jax.devices()[0])
 
     # --- SR-stage train step (configs/cascade_sr.yaml decoder.batch_size) --
-    for B in (4, 2):
+    for B in (4, 2, 1):
         try:
             video = jax.random.uniform(jax.random.PRNGKey(1), (B, T2, S2, S2, 3))
             emb = jax.random.normal(jax.random.PRNGKey(2), (B, 512))
@@ -286,16 +301,22 @@ def bench_cascade():
                   f"MFU {mfu*100:.1f}%", file=sys.stderr)
             emit("cascade_sr_train_frames_per_sec", B * T2 / dt,
                  "frames/s/chip", mfu / 0.40)
-            del compiled, st
-            break
-        except Exception as e:  # noqa: BLE001 — OOM at B=4 -> retry B=2
+            return
+        except Exception as e:  # noqa: BLE001 — OOM -> retry smaller B
             print(f"cascade sr train B={B} failed: {str(e)[:200]}",
                   file=sys.stderr)
+    raise SystemExit("cascade sr train OOM at every batch size")
 
-    # --- end-to-end 2-stage sample (base DDIM-64 -> SR DDIM-64, batch 1) --
+
+def bench_cascade_e2e():
+    """End-to-end two-stage sample: base DDIM-64 -> SR DDIM-64, batch 1,
+    bf16 denoiser. Params only (dec.init_params) — no optimizer/EMA in
+    HBM; sampling is the serving configuration."""
+    dec, T2, S2 = _cascade_decoder()
+    params = dec.init_params(jax.random.PRNGKey(0))
     emb1 = jax.random.normal(jax.random.PRNGKey(5), (1, 512))
     sample = lambda r: dec.sample(
-        state.params, r, video_embed=emb1, batch_size=1, cond_scale=3.0,
+        params, r, video_embed=emb1, batch_size=1, cond_scale=3.0,
         jit_stages=True,  # one cached program per stage (CLAUDE.md: one
         # big jit trips the remote-compile size limit)
     )
@@ -312,12 +333,19 @@ def bench_cascade():
     emit("cascade_e2e_frames_per_sec", T2 / dt, "frames/s/chip")
 
 
+def bench_cascade():
+    bench_cascade_sr()
+    bench_cascade_e2e()
+
+
 SUITES = {
     "sampling": bench_sampling,
     "clip": bench_clip,
     "preprocess": bench_preprocess,
     "prior": bench_prior,
     "cascade": bench_cascade,
+    "cascade_sr": bench_cascade_sr,
+    "cascade_e2e": bench_cascade_e2e,
 }
 
 if __name__ == "__main__":

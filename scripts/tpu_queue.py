@@ -60,8 +60,16 @@ def main() -> None:
         if ln.strip() and not ln.strip().startswith("#")
     ]
     Path("runs").mkdir(exist_ok=True)
+    stop_file = Path("runs/tpu_queue.STOP")
+    stop_file.unlink(missing_ok=True)
     log(f"queue start: {len(jobs)} jobs from {jobs_file}")
     for i, cmd in enumerate(jobs):
+        if stop_file.exists():
+            # Cooperative stop between jobs: lets a session trim a long
+            # tail (e.g. a multi-hour retrain) without killing the job in
+            # flight — touch runs/tpu_queue.STOP.
+            log(f"STOP file present; exiting before job {i + 1}/{len(jobs)}")
+            return
         for attempt in range(1, retries + 2):
             wait_for_device()
             log(f"job {i + 1}/{len(jobs)} attempt {attempt}: {cmd}")

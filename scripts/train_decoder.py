@@ -37,6 +37,12 @@ def build_decoder(cfg):
             # bottleneck grows past ~4k tokens (probe21: 89.0 vs 97.0 ms at
             # the 90-frame SR stage) and is the ONLY option at 23k
             attention_impl=section.get("attention_impl", "xla"),
+            # v5e capacity knobs for big-activation SR stages
+            # (configs/cascade_sr.yaml unet2; r4 remat sweep ledger)
+            memory_efficient=section.get("memory_efficient", False),
+            checkpoint_during_training=section.get(
+                "checkpoint_during_training", False),
+            remat_policy=section.get("remat_policy", "nothing"),
             video_embed_dim=cfg["dim"],
             channels=cfg["channels"],
         )
