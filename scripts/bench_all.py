@@ -12,6 +12,7 @@ Usage: python scripts/bench_all.py [suite ...]   (default: all but decoder)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -242,11 +243,15 @@ def _cascade_decoder():
                          num_resnet_blocks=2, attn_heads=16, attn_dim_head=32)
     # SR stage: joint attention sits at 64*16*16 = 16384 tokens — ride the
     # Pallas flash-MQA path ("auto" picks it >= 4096 tokens on TPU)
+    # CASCADE_REMAT_POLICY lets a queue A/B the policy without a code
+    # edit ("conv" peaks at 10.75 vs "nothing"'s 8.6 GB on the flagship
+    # but recomputes less — r4 sweep; default is the capacity-max).
     unet2 = UNet3DConfig(dim=32, dim_mults=(1, 2, 4, 8), video_embed_dim=512,
                          num_resnet_blocks=2, attn_heads=16, attn_dim_head=32,
                          attention_impl="auto", memory_efficient=True,
                          checkpoint_during_training=True,
-                         remat_policy="nothing")
+                         remat_policy=os.environ.get(
+                             "CASCADE_REMAT_POLICY", "nothing"))
     dec = VideoDecoder(VideoDecoderConfig(
         unets=(unet1, unet2), frame_sizes=(64, S2), frame_numbers=(16, T2),
         timesteps=1000, sample_timesteps=(64, 64), learned_variance=False,
