@@ -25,6 +25,19 @@ from dalle2_video_tpu.models.vivit import ViViT, ViViTConfig
 from dalle2_video_tpu.utils.contrastive import clip_loss, retrieval_metrics
 
 
+def clip_stage_keys(seed: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(k_vivit, k_text, rest) — the ONE key-derivation convention for the
+    CLIP stage. train_clip and eval_clip must both use this: the text
+    tower is a FROZEN RANDOM network when no OpenAI checkpoint is in-env,
+    so an eval that derives it from a different stream of the same seed
+    evaluates the video tower against targets it was never trained on
+    (round-4 bug: eval_clip used the unsplit root key while train_clip
+    used split #2 — full-dataset retrieval scored exactly chance while
+    train top1 was 1.0)."""
+    k_vivit, k_text, rest = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return k_vivit, k_text, rest
+
+
 @dataclasses.dataclass(frozen=True)
 class ClipTrainerConfig:
     lr: float = 1e-3

@@ -68,7 +68,7 @@ mesh: {{data: -1, model: 1}}
 video_encoder: {{frame_size: 32, patch_size: 8, num_frames: 25, dim: 64,
                  depth: 2, heads: 4, dim_head: 16}}
 clip: {{batch_size: 8, lr: 1.0e-3, lr_scheduler: constant,
-        lr_multistep_milestones: [0.5], lr_step_gamma: 0.5, epochs: 12,
+        lr_multistep_milestones: [0.5], lr_step_gamma: 0.5, epochs: 30,
         init_temperature: 5.0, openai_ckpt: null}}
 """
     path = work / "retrieval_demo.yaml"

@@ -33,9 +33,25 @@ def make_corpus(root: Path, n: int = 8, frames: int = 25, size: int = 48) -> Non
     (root / "texts/face40_details_new").mkdir(parents=True)
     (root / "texts/emotion").mkdir()
     (root / "videos").mkdir()
+    # Captions must be token-DISTINCT from each other: the demo text tower
+    # is a frozen random init (no OpenAI weights in-env), and captions
+    # that differ by a single token map through it to nearly identical
+    # embeddings (measured cos 0.998 across 'a person number {i} ...'
+    # captions), which makes the contrastive target degenerate and
+    # collapses the video tower. Word-pool captions keep every pair's
+    # target well separated.
+    adj = ["red", "blue", "green", "golden", "silver", "purple", "orange",
+           "black"]
+    noun = ["robot", "tiger", "dancer", "pianist", "sailor", "wizard",
+            "athlete", "chef"]
+    verb = ["spinning", "jumping", "waving", "sprinting", "bowing",
+            "clapping", "diving", "marching"]
+    place = ["beach", "rooftop", "forest", "stage", "bridge", "market",
+             "harbor", "garden"]
     for i in range(n):
         (root / f"texts/face40_details_new/c{i:02d}.txt").write_text(
-            f"a person number {i} with short dark hair talking"
+            f"a {adj[i % 8]} {noun[i // 8 % 8]} is {verb[i * 3 % 8]} "
+            f"near the {place[i * 5 % 8]}"
         )
         (root / f"texts/emotion/c{i:02d}.txt").write_text("neutral")
         vw = cv2.VideoWriter(
