@@ -45,10 +45,16 @@ def main() -> None:
     from dalle2_video_tpu.models.clip_text import CLIPTextConfig
 
     trainer = ClipTrainer(vivit_cfg, CLIPTextConfig(embed_dim=ve["dim"]))
-    rng = jax.random.PRNGKey(cfg["seed"])
+    # SAME key derivation as train_clip (clip_stage_keys): the text tower
+    # is a frozen RANDOM network when openai_ckpt is null, so eval must
+    # rebuild the exact tower training targeted (round-4 bug: using the
+    # unsplit root key here scored retrieval at exact chance).
+    from dalle2_video_tpu.train.clip_trainer import clip_stage_keys
+
+    k_vivit, k_text, _ = clip_stage_keys(cfg["seed"])
 
     sample = next(iter(BatchLoader(ds, 1, shuffle=False)))
-    state = trainer.init_state(rng, jnp.asarray(sample["videos"]))
+    state = trainer.init_state(k_vivit, jnp.asarray(sample["videos"]))
     from dalle2_video_tpu.train.checkpoint import has_checkpoint, load_best, load_latest
     ckpt = Path(cfg["run_dir"]) / f"clip_{cfg['train_name']}"
     if has_checkpoint(str(ckpt)):
@@ -74,7 +80,7 @@ def main() -> None:
             ),
         )
         log.info("imported torch ViViT checkpoint %s", cfg["torch_vivit_ckpt"])
-    text_params = trainer.init_text_params(rng, cfg["clip"].get("openai_ckpt"))
+    text_params = trainer.init_text_params(k_text, cfg["clip"].get("openai_ckpt"))
 
     embed_v = jax.jit(trainer.embed_video)
     embed_t = jax.jit(lambda tp, toks: trainer.embed_text(tp, toks))

@@ -93,9 +93,13 @@ def main() -> None:
     )
 
     # key hygiene: independent keys for ViViT init, text-tower init, and
-    # the training dropout stream (one shared key correlates the draws)
-    rng = jax.random.PRNGKey(cfg["seed"])
-    k_vivit, k_text, rng = jax.random.split(rng, 3)
+    # the training dropout stream (one shared key correlates the draws).
+    # MUST come from clip_stage_keys — eval_clip derives the SAME frozen
+    # text tower from it (round-4 bug: diverging derivations scored
+    # full-dataset retrieval at exact chance).
+    from dalle2_video_tpu.train.clip_trainer import clip_stage_keys
+
+    k_vivit, k_text, rng = clip_stage_keys(cfg["seed"])
     sample = next(iter(train_loader))
     videos0 = jnp.asarray(sample["videos"])
     state = trainer.init_state(k_vivit, videos0[:1])
