@@ -20,7 +20,7 @@ from pathlib import Path
 SRC = Path("runs")
 DST = Path("evidence/runs")
 MAX_PNG = 3 * 2**20  # 3 MB
-PATTERNS = ("results.json", "*.jsonl", "*.png", "metrics*.json")
+PATTERNS = ("results.json", "summary.json", "*.jsonl", "*.png", "metrics*.json")
 
 
 def main() -> None:

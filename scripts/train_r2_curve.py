@@ -8,6 +8,11 @@ loss curve on the TPU (VERDICT r1 #6).
 - EXERCISES mid-run sharded resume: trains half, restores `last` into the
   sharded state via the real load_checkpoint path, continues
 - EMA cascade sampling at the end; artifacts in runs/r2_curve/
+- RESTART-SAFE (r5): checkpoints runs/r2_curve/last every SAVE_EVERY
+  steps with a progress file; a relaunch resumes from the last save
+  instead of restarting the multi-hour run (the r3/r4 chains both died
+  because a queue kill here meant starting over). Per-step PRNG keys are
+  fold_in(stage, step) so resume is O(1), not a replayed split chain.
 
 Usage: nohup python scripts/train_r2_curve.py [steps_per_stage] \
          > runs/r2_curve.log 2>&1 &
@@ -93,25 +98,51 @@ def main():
                 s, r, v, video_embed=e, unet_number=u)
         )
 
-    def batches(pool, bs, key_seed):
+    def batches(pool, bs, key_seed, skip=0):
         vids, embs = pool
         r = np.random.RandomState(key_seed)
+        for _ in range(skip):  # O(1)-cheap draw replay for resume
+            r.randint(0, len(vids), bs)
         while True:
             idx = r.randint(0, len(vids), bs)
             yield jnp.asarray(vids[idx]), jnp.asarray(embs[idx])
 
     key = jax.random.PRNGKey(42)
-    gens = {1: batches(data1, B1, 1), 2: batches(data2, B2, 2)}
     t_stage = {}
+    SAVE_EVERY = 500
+    progress_file = RUN / "progress.json"
+
+    # Restart-safe resume: progress.json records (stage, next_step) at every
+    # periodic checkpoint; a relaunch restores runs/r2_curve/last and skips
+    # completed work instead of restarting the multi-hour run.
+    start_stage, start_step = 1, 0
+    if progress_file.exists() and (RUN / "last").exists():
+        prog = json.loads(progress_file.read_text())
+        state = load_checkpoint(str(RUN / "last"), state)
+        start_stage, start_step = prog["stage"], prog["next_step"]
+        print(f"RESUMED from progress.json: stage {start_stage} step "
+              f"{start_step}; steps={np.asarray(state.steps)}", flush=True)
+
+    def save_progress(stage, next_step):
+        save_checkpoint(str(RUN / "last"), state)
+        progress_file.write_text(json.dumps(
+            {"stage": stage, "next_step": next_step}))
 
     for u in (1, 2):
+        if u < start_stage:
+            t_stage[u] = float("nan")
+            continue
+        i = start_step if u == start_stage else 0
+        gen = batches(data1 if u == 1 else data2, B1 if u == 1 else B2,
+                      u, skip=i)
         losses = []
         t0 = time.time()
-        resumed = False
-        i = 0
+        n0 = i
         while i < STEPS:
-            vid, emb = next(gens[u])
-            key, k = jax.random.split(key)
+            vid, emb = next(gen)
+            # fold_in, not a split chain: key_i is a pure function of
+            # (stage, step) so resume needs no replay
+            k = jax.random.fold_in(key, u * 1_000_000 + i)
             state, loss = steps[u](state, k, vid, emb)
             if i % 25 == 24:
                 losses.append(float(loss))  # sync point
@@ -119,19 +150,23 @@ def main():
                           "window_mean": float(np.mean(losses[-4:]))},
                          step=int(np.asarray(state.steps)[u - 1]))
             # mid-run resume exercise (once, on the base stage)
-            if u == 1 and i == STEPS // 2 and not resumed:
-                save_checkpoint(str(RUN / "last"), state)
+            if u == 1 and i == STEPS // 2:
+                save_progress(u, i + 1)
                 state = load_checkpoint(str(RUN / "last"), state)
                 print(f"resume exercised at step {i}: steps={np.asarray(state.steps)}",
                       flush=True)
-                resumed = True
+            elif i % SAVE_EVERY == SAVE_EVERY - 1:
+                save_progress(u, i + 1)
             i += 1
         dt = time.time() - t0
+        n_done = i - n0
         frames = (B1 * 16 if u == 1 else B2 * 64)
-        t_stage[u] = dt / STEPS
-        print(f"stage {u}: {STEPS} steps in {dt:.0f}s "
-              f"({dt/STEPS*1e3:.0f} ms/step, {frames/(dt/STEPS):.0f} frames/s) "
-              f"loss {losses[0]:.4f} -> {np.mean(losses[-4:]):.4f}", flush=True)
+        t_stage[u] = dt / max(n_done, 1)
+        if losses:
+            print(f"stage {u}: {n_done} steps in {dt:.0f}s "
+                  f"({t_stage[u]*1e3:.0f} ms/step, {frames/t_stage[u]:.0f} frames/s) "
+                  f"loss {losses[0]:.4f} -> {np.mean(losses[-4:]):.4f}", flush=True)
+        save_progress(u + 1, 0)
 
     save_checkpoint(str(RUN / "last"), state)
 
