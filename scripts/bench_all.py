@@ -266,7 +266,25 @@ def bench_cascade_sr():
     __graft_entry__.dryrun_multichip; this records the per-chip rate.
     Run as its own process (queue job): a train-step OOM can wedge the
     axon device state for everything after it (observed r4: even
-    PRNGKey raised RESOURCE_EXHAUSTED after two OOMs)."""
+    PRNGKey raised RESOURCE_EXHAUSTED after two OOMs). For the same
+    reason each batch-size attempt runs in its OWN subprocess (ADVICE
+    r4: an in-process B=2 retry after a B=4 OOM can fail from the wedge,
+    not genuine OOM); CASCADE_SR_BATCH=<B> pins a single in-process
+    attempt (the child mode, also handy for queue A/Bs)."""
+    b_env = os.environ.get("CASCADE_SR_BATCH")
+    if b_env is None:
+        import subprocess
+        for B in (4, 2, 1):
+            env = dict(os.environ, CASCADE_SR_BATCH=str(B))
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__), "cascade_sr"],
+                env=env)
+            if rc == 0:
+                return
+            print(f"cascade sr train B={B} subprocess failed rc={rc}",
+                  file=sys.stderr)
+        raise SystemExit("cascade sr train OOM at every batch size")
+
     from bench import peak_flops_for
 
     from dalle2_video_tpu.train import DecoderTrainer, DecoderTrainerConfig
@@ -279,38 +297,32 @@ def bench_cascade_sr():
     peak = peak_flops_for(jax.devices()[0])
 
     # --- SR-stage train step (configs/cascade_sr.yaml decoder.batch_size) --
-    for B in (4, 2, 1):
-        try:
-            video = jax.random.uniform(jax.random.PRNGKey(1), (B, T2, S2, S2, 3))
-            emb = jax.random.normal(jax.random.PRNGKey(2), (B, 512))
-            step = jax.jit(lambda s, r: trainer.train_step(
-                s, r, video, video_embed=emb, unet_number=2))
-            t0 = time.time()
-            compiled = step.lower(state, jax.random.PRNGKey(3)).compile()
-            cost = compiled.cost_analysis()
-            flops = float(cost.get("flops", 0.0)) if cost else 0.0
-            print(f"cascade sr train compile: {time.time()-t0:.0f}s "
-                  f"(B={B})", file=sys.stderr)
-            st = state
-            for _ in range(2):
-                st, loss = compiled(st, jax.random.PRNGKey(4))
-            _sync(loss)
-            iters = 10
-            t0 = time.time()
-            for _ in range(iters):
-                st, loss = compiled(st, jax.random.PRNGKey(4))
-            _sync(loss)
-            dt = (time.time() - t0) / iters
-            mfu = flops / dt / peak if flops else 0.0
-            print(f"cascade sr train: {dt*1000:.1f} ms (B={B}), "
-                  f"MFU {mfu*100:.1f}%", file=sys.stderr)
-            emit("cascade_sr_train_frames_per_sec", B * T2 / dt,
-                 "frames/s/chip", mfu / 0.40)
-            return
-        except Exception as e:  # noqa: BLE001 — OOM -> retry smaller B
-            print(f"cascade sr train B={B} failed: {str(e)[:200]}",
-                  file=sys.stderr)
-    raise SystemExit("cascade sr train OOM at every batch size")
+    B = int(b_env)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (B, T2, S2, S2, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (B, 512))
+    step = jax.jit(lambda s, r: trainer.train_step(
+        s, r, video, video_embed=emb, unet_number=2))
+    t0 = time.time()
+    compiled = step.lower(state, jax.random.PRNGKey(3)).compile()
+    cost = compiled.cost_analysis()
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    print(f"cascade sr train compile: {time.time()-t0:.0f}s "
+          f"(B={B})", file=sys.stderr)
+    st = state
+    for _ in range(2):
+        st, loss = compiled(st, jax.random.PRNGKey(4))
+    _sync(loss)
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        st, loss = compiled(st, jax.random.PRNGKey(4))
+    _sync(loss)
+    dt = (time.time() - t0) / iters
+    mfu = flops / dt / peak if flops else 0.0
+    print(f"cascade sr train: {dt*1000:.1f} ms (B={B}), "
+          f"MFU {mfu*100:.1f}%", file=sys.stderr)
+    emit("cascade_sr_train_frames_per_sec", B * T2 / dt,
+         "frames/s/chip", mfu / 0.40)
 
 
 def bench_cascade_e2e():
