@@ -82,6 +82,10 @@ def main() -> None:
             print(f"step {i}: loss {losses[-1]:.5f} "
                   f"({(time.time() - t0) / (i + 1):.2f} s/step)", flush=True)
     train_s = time.time() - t0
+    # persist the student so downstream jobs (perf_r5_e2e_breakdown.py
+    # distilled) can drop it into the full cascade without retraining
+    from dalle2_video_tpu.train.checkpoint import save_checkpoint
+    save_checkpoint(str(RUN / "state"), dstate)
 
     # ------------------------------------------------------------ eval
     # same base video + same SR sampling key for all three variants
