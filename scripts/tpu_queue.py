@@ -50,6 +50,8 @@ def log(msg: str) -> None:
 
 
 def wait_for_device() -> None:
+    if os.environ.get("TPU_QUEUE_PROBE") == "skip":
+        return  # tests: drill queue mechanics without touching a backend
     attempt = 0
     while True:
         attempt += 1
