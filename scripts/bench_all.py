@@ -245,13 +245,15 @@ def _cascade_decoder():
     # Pallas flash-MQA path ("auto" picks it >= 4096 tokens on TPU)
     # CASCADE_REMAT_POLICY lets a queue A/B the policy without a code
     # edit ("conv" peaks at 10.75 vs "nothing"'s 8.6 GB on the flagship
-    # but recomputes less — r4 sweep; default is the capacity-max).
+    # but recomputes less — r4 sweep). r5 A/B on THIS step: conv fits at
+    # B=4 and is 5% faster (285.5 vs 300.5 ms,
+    # evidence/perf_r4/cascade_remat_ab.jsonl) -> conv is the default.
     unet2 = UNet3DConfig(dim=32, dim_mults=(1, 2, 4, 8), video_embed_dim=512,
                          num_resnet_blocks=2, attn_heads=16, attn_dim_head=32,
                          attention_impl="auto", memory_efficient=True,
                          checkpoint_during_training=True,
                          remat_policy=os.environ.get(
-                             "CASCADE_REMAT_POLICY", "nothing"))
+                             "CASCADE_REMAT_POLICY", "conv"))
     dec = VideoDecoder(VideoDecoderConfig(
         unets=(unet1, unet2), frame_sizes=(64, S2), frame_numbers=(16, T2),
         timesteps=1000, sample_timesteps=(64, 64), learned_variance=False,

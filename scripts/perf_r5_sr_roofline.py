@@ -44,9 +44,12 @@ LOG = os.path.join(OUT_DIR, "sr_roofline.jsonl")
 TRACE_DIR = "runs/profile_r5_sr"
 
 VARIANTS = [
-    # (policy, batch, profile?)
-    ("nothing", 4, True),   # shipped bench config — full per-op profile
-    ("conv", 4, False),     # byte-favored policy (r4 flagship sweep)
+    # (policy, batch, profile?) — conv first: the r5 A/B measured it 5%
+    # faster than "nothing" at B=4 (285.5 vs 300.5 ms) and it is now the
+    # shipped default; profile BOTH so the recompute delta is visible in
+    # the op buckets.
+    ("conv", 4, True),
+    ("nothing", 4, True),
 ]
 
 
