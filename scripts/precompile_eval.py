@@ -17,6 +17,14 @@ same mask SHAPE; spatial and guided differ).
 
 Run concurrently with the distill job:
     nice -n 19 python scripts/precompile_eval.py
+
+MEASURED OUTCOME (r5): unnecessary against a busy chip. The un-jitted
+sampling scans compile in ~1-3 min (student32 eval: 185 s INCLUDING its
+compile), unlike the 15-20 min train-step programs, and this script's
+zero-param executions starved behind the distill job's continuous device
+stream (no output in 32 min; killed). Keep for warming inpaint/sampling
+programs on an IDLE chip; prefer precompile_distill.py (AOT, no
+execution) when the chip is busy.
 """
 
 from __future__ import annotations
