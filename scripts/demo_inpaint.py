@@ -91,6 +91,12 @@ def main():
             ("spatial", "replace"), ("extend", "guided")]
     for mode, method in jobs:
         tag = mode if method == "replace" else f"{mode}_{method}"
+        if f"{tag}_fvd" in results:
+            # resumable: a prior (possibly seeded — see results.json
+            # provenance notes) score for this variant stands; spend the
+            # chip on the variants that are still missing
+            print(f"{tag}: already scored — skip", flush=True)
+            continue
         mask = masks_for(mode, 16, 64)
         t0 = time.time()
         outs = []
